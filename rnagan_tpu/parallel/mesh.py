@@ -1,0 +1,68 @@
+"""Device mesh and sharding helpers.
+
+The reference has no distributed layer at all — single CUDA device plus
+optional intra-process ``nn.DataParallel`` (reference ``betaVAE_training.py:148-150``,
+SURVEY.md section 2.4). This module is the TPU framework's replacement: a named
+``jax.sharding.Mesh`` over ICI with a data axis (batch sharding) and a reserved
+model axis. Training steps are jitted with ``NamedSharding`` annotations on
+their inputs; XLA emits the collectives (gradient all-reduce arises from the
+sharded batch, global-batch statistics from ordinary ``jnp.mean`` over sharded
+arrays) — no hand-written communication backend.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Any, Optional, Sequence
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from rnagan_tpu.core.config import MeshConfig
+
+
+def make_mesh(cfg: Optional[MeshConfig] = None, devices: Optional[Sequence[jax.Device]] = None) -> Mesh:
+    """Build a (data, model) mesh. ``cfg.data == -1`` uses every visible device
+    on the data axis (model axis size 1)."""
+    cfg = cfg or MeshConfig()
+    devices = list(devices if devices is not None else jax.devices())
+    n = len(devices)
+    data = cfg.data if cfg.data > 0 else max(1, n // max(1, cfg.model))
+    model = cfg.model
+    if data * model != n:
+        raise ValueError(f"mesh {data}x{model} != {n} devices")
+    dev_array = np.asarray(devices).reshape(data, model)
+    return Mesh(dev_array, (cfg.data_axis, cfg.model_axis))
+
+
+def batch_sharding(mesh: Mesh, ndim: int = 1) -> NamedSharding:
+    """Shard the leading (batch) dimension over the data axis; everything else
+    replicated."""
+    spec = P(mesh.axis_names[0], *([None] * (ndim - 1)))
+    return NamedSharding(mesh, spec)
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def pad_to_multiple(n: int, m: int) -> int:
+    return int(math.ceil(n / m) * m) if m > 1 else n
+
+
+def shard_batch(batch: Any, mesh: Mesh) -> Any:
+    """Device-put a host batch (pytree of arrays, leading dim = global batch)
+    with the batch dim sharded over the data axis.
+
+    The global batch size must divide evenly by the data-axis size; callers pad
+    or drop remainders host-side so jitted shapes stay static (the reference
+    keeps shapes static the same way — sampling at dataset-build time,
+    ``read_data.py:205-207``).
+    """
+
+    def put(x):
+        arr = np.asarray(x)
+        return jax.device_put(arr, batch_sharding(mesh, arr.ndim))
+
+    return jax.tree_util.tree_map(put, batch)
