@@ -47,9 +47,10 @@ def _from_numpy(tree):
 
 
 def save_pytree(path: str, tree: Any) -> None:
-    """Serialize one pytree (dicts/lists/arrays) to ``path`` as msgpack."""
+    """Serialize one pytree to ``path`` as msgpack. ``to_state_dict`` first so
+    namedtuple structures (e.g. optax optimizer states) become plain dicts."""
     os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
-    data = serialization.msgpack_serialize(_to_numpy(tree))
+    data = serialization.msgpack_serialize(_to_numpy(serialization.to_state_dict(tree)))
     tmp = path + ".tmp"
     with open(tmp, "wb") as f:
         f.write(data)

@@ -1,0 +1,47 @@
+"""RNA infusion: the "RNA-GAN" mechanism.
+
+The generator's noise prior is infused with the frozen beta-VAE encoding of
+the patient's gene expression (reference ``wgan_loss.py:97-106``):
+
+    z      = betavae.encode(gene).z_mean          (VAE in eval mode)
+    noise  = U(-0.3, 0.3)  +  z
+    noise  = (noise - mean(noise, axis=0)) / std(noise, axis=0)
+
+Notes for exactness:
+* torch ``std`` defaults to the *unbiased* estimator (ddof=1) — matched here.
+* the per-batch standardization is over the **global** batch: under pjit with
+  the batch sharded on the data axis, ``jnp.mean``/``var`` over axis 0 are
+  computed globally by XLA-inserted collectives, so multi-chip training
+  reproduces single-device semantics exactly.
+* the VAE encoder runs inside the same jitted program as G/D (eval mode:
+  running BN stats, no dropout — reference ``wgan_loss.py:69``), so the whole
+  noise path fuses into the training step.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict
+
+import jax
+import jax.numpy as jnp
+
+from rnagan_tpu.models.betavae import BetaVAE
+
+
+def encode_z_mean(vae: BetaVAE, vae_variables: Dict[str, Any], gene: jax.Array) -> jax.Array:
+    """Frozen-VAE latent mean for a batch of (normalized) expression vectors."""
+    z_mean, _, _ = vae.apply(vae_variables, gene, train=False, method=BetaVAE.encode)
+    return z_mean
+
+
+def standardize_batch(noise: jax.Array) -> jax.Array:
+    mean = jnp.mean(noise, axis=0)
+    # torch.std(dim=0) is unbiased (ddof=1)
+    n = noise.shape[0]
+    var = jnp.sum(jnp.square(noise - mean), axis=0) / jnp.maximum(n - 1, 1)
+    return (noise - mean) / jnp.sqrt(var + 1e-12)
+
+
+def infused_noise(key: jax.Array, z_mean: jax.Array, noise_range: float = 0.3) -> jax.Array:
+    u = jax.random.uniform(key, z_mean.shape, jnp.float32, -noise_range, noise_range)
+    return standardize_batch(u + z_mean)

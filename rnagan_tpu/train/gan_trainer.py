@@ -1,0 +1,369 @@
+"""GAN trainer — the TPU-native replacement for ``torchgan.trainer.Trainer``.
+
+The reference hands models + losses to torchgan's Trainer, which loops over
+batches and calls each loss's ``train_ops`` (own forward/backward/optimizer
+step) in sequence — per batch: D critic step, gradient-penalty step, G step
+(reference ``histopathology_gan.py:298-314``; custom train_ops in
+``wgan_loss.py:82-129,181-263,314-389``; call stack SURVEY.md section 3.2).
+
+Here the entire per-batch sequence compiles into ONE jitted, donated XLA
+program over the device mesh:
+
+* the frozen beta-VAE encoder (wganvae family) runs inside the step in eval
+  mode — the infusion ``U(-0.3,0.3) + z_mean`` + global-batch standardization
+  (losses/rna_infusion.py) fuses with G's first matmul;
+* the gradient penalty's double backward is plain grad-of-grad under jit;
+* fresh noise per stage matches the reference (each ``train_ops`` draws its
+  own, ``wgan_loss.py:100,227,357``), via per-stage fold_in keys;
+* BatchNorm running stats thread through the stage forwards in the same order
+  torch mutates them;
+* with the batch sharded over the data axis, gradient all-reduce and the
+  global-batch noise statistics come from XLA collectives — exact
+  single-device semantics at any mesh size.
+
+Two D-update modes:
+* default: one fused critic update  ``L_D = wasserstein + lambda * GP``
+  (standard WGAN-GP; per-sample interpolation eps and per-sample grad norm);
+* ``compat_reference_gp=True``: two separate Adam steps (critic loss, then
+  GP-only) with scalar eps and global grad norm, reproducing the reference's
+  exact training dynamics (``wgan_loss.py:376,43`` and torchgan's
+  loss-by-loss stepping).
+
+Per-epoch artifacts mirror the reference surface: a sample grid PNG
+(``sample_size=64``) into ``image_dir`` and a bundled ``gan_last.model``
+checkpoint (G+D params+stats+optimizer states+step) into ``model_dir``.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Any, Dict, Iterable, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from flax import struct
+
+from rnagan_tpu.core.checkpoint import load_bundle, save_bundle
+from rnagan_tpu.core.config import GANConfig
+from rnagan_tpu.core.metrics import MetricsLogger
+from rnagan_tpu.core.profiling import StepTimer
+from rnagan_tpu.core.rng import KeyStream, step_key
+from rnagan_tpu.losses import gan as gan_losses
+from rnagan_tpu.losses.rna_infusion import encode_z_mean, infused_noise, standardize_batch
+from rnagan_tpu.models.betavae import BetaVAE, params_from_torch_state_dict
+from rnagan_tpu.models.dcgan import make_discriminator, make_generator, init_gan
+from rnagan_tpu.parallel.mesh import make_mesh, replicated, shard_batch
+from rnagan_tpu.utils.images import save_image_grid
+
+
+class GANTrainState(struct.PyTreeNode):
+    step: jax.Array
+    g_params: Any
+    g_stats: Any
+    g_opt: Any
+    d_params: Any
+    d_stats: Any
+    d_opt: Any
+
+
+def load_frozen_vae(path: str, vae_cfg) -> Dict[str, Any]:
+    """Load beta-VAE variables for the wganvae loss family from either our
+    bundle format or a reference torch ``state_dict`` (.pt) file
+    (reference hardcodes the path at ``histopathology_gan.py:275-278``)."""
+    if path.endswith((".pt", ".pth")):
+        import torch
+
+        sd = torch.load(path, map_location="cpu", weights_only=True)
+        sd = {k: v.numpy() for k, v in sd.items()}
+        return params_from_torch_state_dict(vae_cfg, sd)
+    trees, _ = load_bundle(path)
+    return {"params": trees["params"], "batch_stats": trees["batch_stats"]}
+
+
+class GANTrainer:
+    def __init__(
+        self,
+        cfg: GANConfig,
+        *,
+        vae_variables: Optional[Dict[str, Any]] = None,
+        mesh=None,
+        logger: Optional[MetricsLogger] = None,
+        image_dir: Optional[str] = None,
+        model_dir: Optional[str] = None,
+    ):
+        self.cfg = cfg
+        self.mesh = mesh if mesh is not None else make_mesh(cfg.mesh)
+        self.logger = logger or MetricsLogger()
+        self.image_dir = image_dir
+        self.model_dir = model_dir
+        self.generator = make_generator(cfg.model)
+        self.discriminator = make_discriminator(cfg.model)
+        self.keys = KeyStream(cfg.seed)
+        self._base_key = self.keys.fold("gan")
+
+        if cfg.loss_type == "wganvae":
+            if vae_variables is None:
+                if not cfg.vae_checkpoint:
+                    raise ValueError("loss_type=wganvae requires vae_variables or cfg.vae_checkpoint")
+                vae_variables = load_frozen_vae(cfg.vae_checkpoint, cfg.vae)
+            self.vae = BetaVAE(cfg.vae)
+            self.vae_variables = jax.device_put(vae_variables, replicated(self.mesh))
+        else:
+            self.vae = None
+            self.vae_variables = None
+
+        # TTUR Adam (reference histopathology_gan.py:248-259)
+        self.g_tx = optax.adam(cfg.g_lr, b1=cfg.adam_b1, b2=cfg.adam_b2)
+        self.d_tx = optax.adam(cfg.d_lr, b1=cfg.adam_b1, b2=cfg.adam_b2)
+        self._train_step = jax.jit(self._train_step_impl, donate_argnums=(0,))
+        self._sample = jax.jit(self._sample_impl, static_argnums=(2,))
+
+    # ------------------------------------------------------------------ state
+    def init_state(self) -> GANTrainState:
+        gv, dv = init_gan(self.cfg.model, self.keys.fold("init"))
+        state = GANTrainState(
+            step=jnp.asarray(0, jnp.int32),
+            g_params=gv["params"],
+            g_stats=gv.get("batch_stats", {}),
+            g_opt=self.g_tx.init(gv["params"]),
+            d_params=dv["params"],
+            d_stats=dv.get("batch_stats", {}),
+            d_opt=self.d_tx.init(dv["params"]),
+        )
+        return jax.device_put(state, replicated(self.mesh))
+
+    # ------------------------------------------------------------------ noise
+    def _noise(self, key, batch: Dict[str, jax.Array]) -> jax.Array:
+        """Per-stage noise prior: VAE-infused for wganvae (reference
+        ``wgan_loss.py:97-106``), standard normal otherwise (torchgan
+        sampler)."""
+        n = batch["image"].shape[0]
+        dims = self.cfg.model.encoding_dims
+        if self.cfg.loss_type == "wganvae":
+            z_mean = encode_z_mean(self.vae, self.vae_variables, batch["rna_data"])
+            return infused_noise(key, z_mean, self.cfg.noise_range)
+        return jax.random.normal(key, (n, dims), jnp.float32)
+
+    def _labels(self, batch):
+        return batch.get("labels") if self.cfg.model.arch == "condgan" else None
+
+    # ------------------------------------------------------------- train step
+    def _g_apply(self, params, stats, z, labels, train=True):
+        out, upd = self.generator.apply(
+            {"params": params, "batch_stats": stats}, z, labels=labels, train=train,
+            mutable=["batch_stats"],
+        )
+        return out, upd["batch_stats"]
+
+    def _d_apply(self, params, stats, x, labels, train=True):
+        out, upd = self.discriminator.apply(
+            {"params": params, "batch_stats": stats}, x, labels=labels, train=train,
+            mutable=["batch_stats"],
+        )
+        return out, upd["batch_stats"]
+
+    def _train_step_impl(self, state: GANTrainState, batch: Dict[str, jax.Array]):
+        cfg = self.cfg
+        loss_type = cfg.loss_type
+        labels = self._labels(batch)
+        real = batch["image"]
+        base = step_key(self._base_key, state.step)
+        k_d, k_gp, k_g, k_eps = (jax.random.fold_in(base, i) for i in range(4))
+        metrics: Dict[str, jax.Array] = {}
+
+        d_params, d_stats, d_opt = state.d_params, state.d_stats, state.d_opt
+        g_params, g_stats = state.g_params, state.g_stats
+
+        wgan_family = loss_type in ("wgan", "wganvae")
+        use_gp = wgan_family
+        fused_gp = use_gp and not cfg.compat_reference_gp
+
+        # weight clipping: reference applies it only for the plain wgan loss
+        # (constructed with clip at histopathology_gan.py:270; wganvae without)
+        if loss_type == "wgan" and cfg.clip is not None:
+            d_params = gan_losses.clip_params(d_params, cfg.clip[0], cfg.clip[1])
+
+        # ---------------- D stage (critic loss, optionally fused with GP)
+        noise_d = self._noise(k_d, batch)
+        fake_d, g_stats = self._g_apply(g_params, g_stats, noise_d, labels)
+        fake_d = jax.lax.stop_gradient(fake_d)
+        if fused_gp:
+            eps = jax.random.uniform(k_eps, (real.shape[0], 1, 1, 1))
+            interp = eps * real + (1.0 - eps) * fake_d
+
+        def d_loss_fn(p):
+            dx, s1 = self._d_apply(p, d_stats, real, labels)
+            dgz, s2 = self._d_apply(p, s1, fake_d, labels)
+            if loss_type in ("wgan", "wganvae"):
+                loss = gan_losses.wasserstein_discriminator_loss(dx, dgz)
+            elif loss_type == "minimax":
+                loss = gan_losses.minimax_discriminator_loss(dx, dgz)
+            elif loss_type == "lsgan":
+                loss = gan_losses.least_squares_discriminator_loss(dx, dgz)
+            else:
+                raise ValueError(f"unknown loss_type {loss_type}")
+            aux = {"d_loss": loss, "dx": jnp.mean(dx), "dgz": jnp.mean(dgz)}
+            if fused_gp:
+                def critic(x):
+                    out, _ = self._d_apply(p, s2, x, labels)
+                    return out
+
+                gp = gan_losses.gradient_penalty(critic, interp, per_sample=True)
+                aux["gp"] = gp
+                loss = loss + cfg.gp_lambda * gp
+            return loss, (aux, s2)
+
+        grads, (aux, d_stats) = jax.grad(d_loss_fn, has_aux=True)(d_params)
+        updates, d_opt = self.d_tx.update(grads, d_opt, d_params)
+        d_params = optax.apply_updates(d_params, updates)
+        metrics.update(aux)
+
+        # ---------------- GP stage (separate Adam step — reference dynamics)
+        if use_gp and not fused_gp:
+            noise_gp = self._noise(k_gp, batch)
+            fake_gp, g_stats = self._g_apply(g_params, g_stats, noise_gp, labels)
+            fake_gp = jax.lax.stop_gradient(fake_gp)
+            # reference quirk: ONE scalar eps for the whole batch (wgan_loss.py:376)
+            eps = jax.random.uniform(k_eps, ())
+            interp = eps * real + (1.0 - eps) * fake_gp
+
+            def gp_loss_fn(p):
+                def critic(x):
+                    out, _ = self._d_apply(p, d_stats, x, labels)
+                    return out
+
+                # reference quirk: global (not per-sample) gradient norm (:43)
+                gp = gan_losses.gradient_penalty(critic, interp, per_sample=False)
+                return cfg.gp_lambda * gp, gp
+
+            grads, gp_val = jax.grad(gp_loss_fn, has_aux=True)(d_params)
+            updates, d_opt = self.d_tx.update(grads, d_opt, d_params)
+            d_params = optax.apply_updates(d_params, updates)
+            metrics["gp"] = gp_val
+
+        # ---------------- G stage
+        noise_g = self._noise(k_g, batch)
+
+        def g_loss_fn(p):
+            fake, gs = self._g_apply(p, g_stats, noise_g, labels)
+            dgz, ds = self._d_apply(d_params, d_stats, fake, labels)
+            if loss_type in ("wgan", "wganvae"):
+                loss = gan_losses.wasserstein_generator_loss(dgz)
+            elif loss_type == "minimax":
+                loss = gan_losses.minimax_generator_loss(dgz)
+            elif loss_type == "lsgan":
+                loss = gan_losses.least_squares_generator_loss(dgz)
+            return loss, (gs, ds)
+
+        (g_loss, (g_stats, d_stats)), grads = jax.value_and_grad(g_loss_fn, has_aux=True)(state.g_params)
+        updates, g_opt = self.g_tx.update(grads, state.g_opt, state.g_params)
+        g_params = optax.apply_updates(state.g_params, updates)
+        metrics["g_loss"] = g_loss
+
+        new_state = GANTrainState(
+            step=state.step + 1,
+            g_params=g_params, g_stats=g_stats, g_opt=g_opt,
+            d_params=d_params, d_stats=d_stats, d_opt=d_opt,
+        )
+        return new_state, metrics
+
+    # -------------------------------------------------------------- sampling
+    def _sample_impl(self, state: GANTrainState, key, n: int, gene: Optional[jax.Array] = None):
+        """Generate n images in eval mode. With ``gene`` (wganvae), noise is
+        the infusion prior broadcast from a single patient's z_mean
+        (reference ``gan_utils.py:211-216``)."""
+        dims = self.cfg.model.encoding_dims
+        if gene is not None:
+            z_mean = encode_z_mean(self.vae, self.vae_variables, gene)
+            u = jax.random.uniform(key, (n, dims), jnp.float32, -self.cfg.noise_range, self.cfg.noise_range)
+            noise = standardize_batch(u + z_mean)
+        else:
+            noise = jax.random.normal(key, (n, dims), jnp.float32)
+        labels = None
+        if self.cfg.model.arch == "condgan":
+            labels = jax.random.randint(jax.random.fold_in(key, 1), (n,), 0, self.cfg.model.num_classes)
+        imgs = self.generator.apply(
+            {"params": state.g_params, "batch_stats": state.g_stats},
+            noise, labels=labels, train=False,
+        )
+        return imgs
+
+    def sample(self, state: GANTrainState, key, n: int, gene=None) -> np.ndarray:
+        return np.asarray(jax.device_get(self._sample(state, key, n, gene)))
+
+    # ------------------------------------------------------------ checkpoints
+    def save_model(self, state: GANTrainState, path: str, metadata=None) -> None:
+        """Bundled checkpoint — the ``.model`` equivalent (G+D+optimizers+step,
+        reference torchgan checkpoints, SURVEY.md section 5.4)."""
+        save_bundle(
+            path,
+            {
+                "g_params": state.g_params, "g_stats": state.g_stats, "g_opt": state.g_opt,
+                "d_params": state.d_params, "d_stats": state.d_stats, "d_opt": state.d_opt,
+                "step": state.step,
+            },
+            metadata or {},
+        )
+
+    def load_model(self, path: str) -> GANTrainState:
+        """Resume from a bundle (the ``trainer.load_model`` equivalent,
+        reference ``histopathology_gan.py:311-312``)."""
+        template = self.init_state()
+        targets = {
+            "g_params": template.g_params, "g_stats": template.g_stats, "g_opt": template.g_opt,
+            "d_params": template.d_params, "d_stats": template.d_stats, "d_opt": template.d_opt,
+            "step": template.step,
+        }
+        trees, _ = load_bundle(path, targets)
+        state = GANTrainState(
+            step=jnp.asarray(trees["step"], jnp.int32),
+            g_params=trees["g_params"], g_stats=trees["g_stats"], g_opt=trees["g_opt"],
+            d_params=trees["d_params"], d_stats=trees["d_stats"], d_opt=trees["d_opt"],
+        )
+        return jax.device_put(state, replicated(self.mesh))
+
+    # ------------------------------------------------------------------- fit
+    def fit(
+        self,
+        batches_per_epoch_fn,
+        *,
+        num_epochs: Optional[int] = None,
+        state: Optional[GANTrainState] = None,
+        sample_every: int = 1,
+        save_every: int = 1,
+    ) -> Tuple[GANTrainState, Dict[str, Any]]:
+        """Epoch loop. ``batches_per_epoch_fn(epoch) -> iterable of batch
+        dicts`` (numpy NHWC images in [-1,1], plus rna_data/labels as needed).
+        Writes sample grids and checkpoints like the reference Trainer."""
+        cfg = self.cfg
+        state = state if state is not None else self.init_state()
+        num_epochs = num_epochs if num_epochs is not None else cfg.num_epochs
+        timer = StepTimer()
+        history = []
+        for epoch in range(num_epochs):
+            sums: Dict[str, float] = {}
+            count = 0
+            for batch in batches_per_epoch_fn(epoch):
+                sharded = shard_batch(batch, self.mesh)
+                timer.start()
+                state, metrics = self._train_step(state, sharded)
+                timer.stop(metrics["d_loss"])
+                metrics = jax.device_get(metrics)
+                for k, v in metrics.items():
+                    sums[k] = sums.get(k, 0.0) + float(v)
+                count += 1
+            means = {k: v / max(count, 1) for k, v in sums.items()}
+            means.update(timer.stats())
+            history.append(means)
+            self.logger.scalars("gan", means, epoch)
+            self.logger.console(
+                f"epoch {epoch}: " + " ".join(f"{k} {v:.4f}" for k, v in means.items() if not k.startswith("step_"))
+            )
+            if self.image_dir and (epoch + 1) % sample_every == 0:
+                imgs = self.sample(state, self.keys.fold("grid", epoch), cfg.sample_size)
+                save_image_grid(imgs, os.path.join(self.image_dir, f"epoch_{epoch}.png"), nrow=8)
+            if self.model_dir and (epoch + 1) % save_every == 0:
+                self.save_model(state, os.path.join(self.model_dir, "gan_last.model"), {"epoch": epoch})
+        return state, {"history": history, "timing": timer.stats()}
