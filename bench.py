@@ -1,0 +1,96 @@
+"""Headline benchmark: RNA-GAN tile-synthesis throughput on one chip.
+
+Baseline anchor (BASELINE.md north star): >= 5,000 256x256 tiles/sec/chip.
+The reference's synthesis path decodes in chunks of 10 on a single GPU
+(reference ``gan_utils.py:217-224``); here the whole path (frozen beta-VAE
+encode -> infused noise -> DCGAN generator at 256x256, bf16) is one jitted
+XLA program, batched to saturate the MXU.
+
+Measurement note: on this image's axon tunnel backend, ``block_until_ready``
+returns before remote execution completes, so naive wall-clock loops
+over-report by ~10x. We therefore chain N synthesis steps inside one
+``lax.scan`` program (each step's noise depends on the previous step's
+output, forcing serial execution) and difference the run times of a short and
+a long chain — constant RPC/launch overhead cancels exactly.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+
+import json
+import time
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+BASELINE_TILES_PER_SEC = 5000.0
+BATCH = 64
+N_SHORT, N_LONG = 2, 22
+
+try:
+    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+except Exception:
+    pass
+
+
+def main():
+    from rnagan_tpu.core.config import GANModelConfig, VAEModelConfig
+    from rnagan_tpu.losses.rna_infusion import encode_z_mean, standardize_batch
+    from rnagan_tpu.models.betavae import BetaVAE, init_betavae
+    from rnagan_tpu.models.dcgan import init_gan, make_generator
+
+    vae_cfg = VAEModelConfig(compute_dtype="bfloat16")
+    model_cfg = GANModelConfig()  # 256x256, z 2048, step 64, bf16
+    key = jax.random.key(0)
+    vae = BetaVAE(vae_cfg)
+    vae_vars = init_betavae(vae_cfg, key)
+    gv, _ = init_gan(model_cfg, jax.random.fold_in(key, 1))
+    generator = make_generator(model_cfg)
+    gene = jax.random.normal(key, (BATCH, vae_cfg.rna_features), jnp.float32)
+
+    @partial(jax.jit, static_argnums=(3,))
+    def chained_synth(g_vars, vae_variables, gene, n_iters, key):
+        def body(carry, i):
+            # full synthesis path; tiny carry feedback serializes the chain
+            z_mean = encode_z_mean(vae, vae_variables, gene + carry * 1e-6)
+            u = jax.random.uniform(
+                jax.random.fold_in(key, i), (BATCH, model_cfg.encoding_dims), jnp.float32, -0.3, 0.3
+            )
+            noise = standardize_batch(u + z_mean)
+            img = generator.apply(g_vars, noise, train=False)
+            return jnp.mean(img).astype(jnp.float32), None
+
+        carry, _ = jax.lax.scan(body, jnp.float32(0), jnp.arange(n_iters))
+        return carry
+
+    g_vars = {"params": gv["params"], "batch_stats": gv["batch_stats"]}
+
+    def timed(n):
+        float(chained_synth(g_vars, vae_vars, gene, n, key))  # compile + warm
+        best = float("inf")
+        for _ in range(4):
+            t0 = time.perf_counter()
+            float(chained_synth(g_vars, vae_vars, gene, n, key))  # host fetch forces completion
+            best = min(best, time.perf_counter() - t0)
+        return best
+
+    t_short = timed(N_SHORT)
+    t_long = timed(N_LONG)
+    per_batch = max((t_long - t_short) / (N_LONG - N_SHORT), 1e-9)
+    tiles_per_sec = BATCH / per_batch
+
+    print(
+        json.dumps(
+            {
+                "metric": "rnagan_synthesis_throughput",
+                "value": round(tiles_per_sec, 2),
+                "unit": "tiles/sec/chip(256x256)",
+                "vs_baseline": round(tiles_per_sec / BASELINE_TILES_PER_SEC, 4),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

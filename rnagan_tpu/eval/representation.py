@@ -1,0 +1,58 @@
+"""Per-patient representation analysis (reference ``src/compute_representation.py``).
+
+For every patient: inception activations of (a) real tiles, (b) RNA-GAN tiles
+conditioned on that patient's expression, (c) unconditional GAN tiles; each
+set reduced to its mean activation vector; stacked per-source matrices saved
+as ``.npy`` (reference ``compute_representation.py:29-101,149-170``)."""
+
+from __future__ import annotations
+
+import os
+from typing import Callable, Dict, Optional, Sequence
+
+import jax
+import numpy as np
+
+from rnagan_tpu.eval.fid import InceptionExtractor
+from rnagan_tpu.eval.generate import generate_images
+
+
+def mean_activation(images01: np.ndarray, extractor: InceptionExtractor, batch_size: int = 64) -> np.ndarray:
+    """Mean 2048-d inception activation of an image set ([0,1] NHWC)."""
+    return extractor(images01, batch_size).mean(axis=0)
+
+
+def compute_representations(
+    patients: Sequence[str],
+    real_tiles_fn: Callable[[str], np.ndarray],
+    gene_fn: Callable[[str], np.ndarray],
+    rna_trainer, rna_state,
+    gan_trainer, gan_state,
+    *,
+    key,
+    tiles_per_patient: int = 64,
+    extractor: Optional[InceptionExtractor] = None,
+    save_dir: Optional[str] = None,
+) -> Dict[str, np.ndarray]:
+    """Returns {'real': (P,2048), 'rnagan': (P,2048), 'gan': (P,2048)} and
+    optionally writes the three ``.npy`` files the reference produces
+    (``compute_representation.py:168-170``)."""
+    extractor = extractor or InceptionExtractor()
+    reps = {"real": [], "rnagan": [], "gan": []}
+    for i, patient in enumerate(patients):
+        k = jax.random.fold_in(key, i)
+        k1, k2 = jax.random.split(k)
+        real = real_tiles_fn(patient)
+        real01 = real * 0.5 + 0.5 if real.min() < 0 else real
+        gene = gene_fn(patient)
+        rna_imgs = generate_images(rna_trainer, rna_state, tiles_per_patient, k1, gene=gene)
+        gan_imgs = generate_images(gan_trainer, gan_state, tiles_per_patient, k2)
+        reps["real"].append(mean_activation(real01, extractor))
+        reps["rnagan"].append(mean_activation(rna_imgs, extractor))
+        reps["gan"].append(mean_activation(gan_imgs, extractor))
+    out = {k: np.stack(v) for k, v in reps.items()}
+    if save_dir:
+        os.makedirs(save_dir, exist_ok=True)
+        for name, arr in out.items():
+            np.save(os.path.join(save_dir, f"representations_{name}.npy"), arr)
+    return out

@@ -45,3 +45,46 @@ def standardize_batch(noise: jax.Array) -> jax.Array:
 def infused_noise(key: jax.Array, z_mean: jax.Array, noise_range: float = 0.3) -> jax.Array:
     u = jax.random.uniform(key, z_mean.shape, jnp.float32, -noise_range, noise_range)
     return standardize_batch(u + z_mean)
+
+
+def infused_noise_population(
+    key: jax.Array,
+    z_mean: jax.Array,
+    pop_mean: jax.Array,
+    pop_std: jax.Array,
+    num_samples: int,
+    noise_range: float = 0.3,
+) -> jax.Array:
+    """Conditioning-preserving generation-time infusion.
+
+    Discovered reference property: at generation the reference broadcasts ONE
+    patient's z_mean over the batch and then standardizes per column over the
+    batch (``gan_utils.py:211-216``) — which cancels the constant z offset
+    exactly, making "conditional" generation effectively unconditional. For
+    FID-parity runs we reproduce that (see ``standardize_batch``); this
+    variant instead standardizes with *training-population* statistics of
+    z_mean, reproducing the training-time noise distribution while keeping
+    the patient signal:
+
+        noise = (U + z - E_pop[z]) / sqrt(Var_pop[z] + Var[U])
+    """
+    dims = z_mean.shape[-1]
+    u = jax.random.uniform(key, (num_samples, dims), jnp.float32, -noise_range, noise_range)
+    var_u = (2.0 * noise_range) ** 2 / 12.0
+    return (u + z_mean - pop_mean) / jnp.sqrt(jnp.square(pop_std) + var_u)
+
+
+def z_population_stats(vae: BetaVAE, vae_variables, rna_matrix, batch_size: int = 256):
+    """Mean/std of z_mean over a (normalized) training expression matrix —
+    computed once and bundled with GAN checkpoints so generation can use the
+    conditioning-preserving mode."""
+    import numpy as np
+
+    outs = []
+    enc = jax.jit(lambda x: vae.apply(vae_variables, x, train=False, method=BetaVAE.encode)[0])
+    n = len(rna_matrix)
+    for s in range(0, n, batch_size):
+        chunk = np.asarray(rna_matrix[s : s + batch_size], np.float32)
+        outs.append(np.asarray(enc(jnp.asarray(chunk))))
+    z = np.concatenate(outs, axis=0)
+    return z.mean(axis=0), z.std(axis=0, ddof=1)

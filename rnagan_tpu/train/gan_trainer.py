@@ -51,7 +51,12 @@ from rnagan_tpu.core.metrics import MetricsLogger
 from rnagan_tpu.core.profiling import StepTimer
 from rnagan_tpu.core.rng import KeyStream, step_key
 from rnagan_tpu.losses import gan as gan_losses
-from rnagan_tpu.losses.rna_infusion import encode_z_mean, infused_noise, standardize_batch
+from rnagan_tpu.losses.rna_infusion import (
+    encode_z_mean,
+    infused_noise,
+    infused_noise_population,
+    standardize_batch,
+)
 from rnagan_tpu.models.betavae import BetaVAE, params_from_torch_state_dict
 from rnagan_tpu.models.dcgan import make_discriminator, make_generator, init_gan
 from rnagan_tpu.parallel.mesh import make_mesh, replicated, shard_batch
@@ -270,15 +275,25 @@ class GANTrainer:
         return new_state, metrics
 
     # -------------------------------------------------------------- sampling
-    def _sample_impl(self, state: GANTrainState, key, n: int, gene: Optional[jax.Array] = None):
+    def _sample_impl(self, state: GANTrainState, key, n: int, gene: Optional[jax.Array] = None,
+                     z_pop: Optional[Tuple[jax.Array, jax.Array]] = None):
         """Generate n images in eval mode. With ``gene`` (wganvae), noise is
-        the infusion prior broadcast from a single patient's z_mean
-        (reference ``gan_utils.py:211-216``)."""
+        the infusion prior broadcast from a patient's z_mean (reference
+        ``gan_utils.py:211-216``). NOTE (discovered reference property): with a
+        single patient, the reference's per-batch standardization cancels the
+        broadcast z exactly — pass ``z_pop=(mean, std)`` (from
+        ``losses.rna_infusion.z_population_stats``) for the
+        conditioning-preserving variant."""
         dims = self.cfg.model.encoding_dims
         if gene is not None:
             z_mean = encode_z_mean(self.vae, self.vae_variables, gene)
-            u = jax.random.uniform(key, (n, dims), jnp.float32, -self.cfg.noise_range, self.cfg.noise_range)
-            noise = standardize_batch(u + z_mean)
+            if z_pop is not None:
+                noise = infused_noise_population(
+                    key, z_mean, z_pop[0], z_pop[1], n, self.cfg.noise_range
+                )
+            else:
+                u = jax.random.uniform(key, (n, dims), jnp.float32, -self.cfg.noise_range, self.cfg.noise_range)
+                noise = standardize_batch(u + z_mean)
         else:
             noise = jax.random.normal(key, (n, dims), jnp.float32)
         labels = None
@@ -290,8 +305,10 @@ class GANTrainer:
         )
         return imgs
 
-    def sample(self, state: GANTrainState, key, n: int, gene=None) -> np.ndarray:
-        return np.asarray(jax.device_get(self._sample(state, key, n, gene)))
+    def sample(self, state: GANTrainState, key, n: int, gene=None, z_pop=None) -> np.ndarray:
+        if z_pop is not None:
+            z_pop = (jnp.asarray(z_pop[0], jnp.float32), jnp.asarray(z_pop[1], jnp.float32))
+        return np.asarray(jax.device_get(self._sample(state, key, n, gene, z_pop)))
 
     # ------------------------------------------------------------ checkpoints
     def save_model(self, state: GANTrainState, path: str, metadata=None) -> None:
