@@ -1,0 +1,200 @@
+"""Patch datasets: slide databases -> batched tensors.
+
+Equivalents of the reference's five Dataset flavors (reference
+``read_data.py:22-371``), re-designed for a TPU input pipeline:
+
+* the reference samples keys at dataset-build time and then re-opens the LMDB
+  environment + decompresses one tile per ``__getitem__`` at batch size 8
+  (``read_data.py:248-253``) — here slides are opened once (mmap via the
+  native store), the sampled tiles are bulk-decoded into contiguous uint8
+  arrays, and per-tile RNA rows are an index into a per-slide matrix instead
+  of 19,198-float copies per tile;
+* corrupt entries are dropped at load time (the reference's collate-filter
+  contract, ``histopathology_gan.py:26-48``);
+* path convention matches the reference:
+  ``{patch_data_path}/{wsi_file_name}/{wsi_file_name -.svs +.db}``
+  (``read_data.py:197``).
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass
+from typing import Dict, Iterator, List, Optional, Sequence, Tuple
+
+import numpy as np
+import pandas as pd
+
+from rnagan_tpu.data.rna import rna_columns
+from rnagan_tpu.data.store import LMDBTileStore
+from rnagan_tpu.data.tiles import tiles_to_float
+
+
+def slide_db_path(patch_data_path: str, wsi_file_name: str) -> str:
+    """``{path}/{wsi}/{wsi -.svs +.db}`` (reference ``read_data.py:197``);
+    names without a .svs suffix get ``.db`` appended."""
+    db = wsi_file_name.replace(".svs", ".db") if ".svs" in wsi_file_name else wsi_file_name + ".db"
+    return os.path.join(patch_data_path, wsi_file_name, db)
+
+
+@dataclass
+class PatchData:
+    """Flat tile dataset (+ per-slide RNA and labels)."""
+
+    images: np.ndarray          # (N, H, W, 3) uint8, RGB
+    labels: np.ndarray          # (N,) int32
+    slide_idx: np.ndarray       # (N,) int32 -> index into slides / rna
+    slides: List[str]
+    rna: Optional[np.ndarray] = None  # (num_slides, G) float32
+
+    def __len__(self):
+        return len(self.images)
+
+    def rna_for_tiles(self, tile_indices: np.ndarray) -> np.ndarray:
+        assert self.rna is not None
+        return self.rna[self.slide_idx[tile_indices]]
+
+
+def load_patch_data(
+    df: pd.DataFrame,
+    *,
+    max_patches_total: int = 300,
+    seed: int = 99,
+    quick: bool = False,
+    with_rna: bool = False,
+    verbose: bool = True,
+) -> PatchData:
+    """Build a PatchData from a slide DataFrame with columns
+    ``wsi_file_name``, ``patch_data_path``, ``labels`` (+ ``rna_*`` when
+    ``with_rna``) — the PatchDataset / PatchRNADataset preprocessing
+    (reference ``read_data.py:174-231,284-332``), with per-slide key sampling
+    capped at ``max_patches_total`` (``read_data.py:205-207``)."""
+    if quick:
+        df = df.sample(min(len(df), 150 if with_rna else 10), random_state=seed)
+    rng = np.random.RandomState(seed)
+    cols = rna_columns(df) if with_rna else []
+
+    images: List[np.ndarray] = []
+    labels: List[int] = []
+    slide_idx: List[int] = []
+    slides: List[str] = []
+    rna_rows: List[np.ndarray] = []
+
+    for _, row in df.iterrows():
+        wsi = row["wsi_file_name"]
+        path = slide_db_path(row["patch_data_path"], wsi)
+        label = int(row.get("labels", 0))
+        try:
+            with LMDBTileStore(path) as store:
+                keys = store.keys()
+                n_selected = min(len(keys), max_patches_total)
+                chosen = [keys[i] for i in rng.choice(len(keys), n_selected, replace=False)]
+                tiles, kept = store.load_tiles(chosen)
+        except Exception as e:  # skip unreadable slides, as the reference does
+            if verbose:
+                print(f"Error with db {path}: {e}")
+            continue
+        if len(kept) == 0:
+            continue
+        sid = len(slides)
+        slides.append(wsi)
+        if with_rna:
+            rna_rows.append(np.asarray(row[cols].values, np.float32))
+        images.append(tiles)
+        labels += [label] * len(kept)
+        slide_idx += [sid] * len(kept)
+
+    if not images:
+        return PatchData(np.zeros((0, 0, 0, 3), np.uint8), np.zeros(0, np.int32), np.zeros(0, np.int32), [])
+    return PatchData(
+        images=np.concatenate(images, axis=0),
+        labels=np.asarray(labels, np.int32),
+        slide_idx=np.asarray(slide_idx, np.int32),
+        slides=slides,
+        rna=np.stack(rna_rows) if with_rna else None,
+    )
+
+
+class PatchBatches:
+    """Epoch batch iterator over a PatchData — yields the GAN trainer's batch
+    dicts (image in [-1,1], optional rna_data / labels)."""
+
+    def __init__(
+        self,
+        data: PatchData,
+        *,
+        batch_size: int = 8,
+        with_rna: bool = False,
+        with_labels: bool = False,
+        shuffle: bool = True,
+        seed: int = 0,
+        pad_to: int = 1,
+    ):
+        self.data = data
+        self.batch_size = batch_size
+        self.with_rna = with_rna
+        self.with_labels = with_labels
+        self.shuffle = shuffle
+        self.seed = seed
+        self.pad_to = pad_to
+
+    def __len__(self):
+        return -(-len(self.data) // self.batch_size)
+
+    def epoch(self, epoch: int = 0) -> Iterator[Dict[str, np.ndarray]]:
+        n = len(self.data)
+        order = np.arange(n)
+        if self.shuffle:
+            np.random.RandomState(self.seed + epoch).shuffle(order)
+        for start in range(0, n, self.batch_size):
+            idx = order[start : start + self.batch_size]
+            if len(idx) < self.batch_size:
+                target = -(-len(idx) // self.pad_to) * self.pad_to
+                idx = np.concatenate([idx, order[np.arange(target - len(idx)) % n]])
+            batch = {"image": tiles_to_float(self.data.images[idx])}
+            if self.with_rna:
+                batch["rna_data"] = self.data.rna_for_tiles(idx)
+            if self.with_labels:
+                batch["labels"] = self.data.labels[idx]
+            yield batch
+
+
+@dataclass
+class BagData:
+    """Bags of ``bag_size`` tiles per slide + slide-level label/RNA — the
+    PatchBagDataset / PatchBagRNADataset shape (reference
+    ``read_data.py:22-155``)."""
+
+    bags: np.ndarray            # (B, bag_size, H, W, 3) uint8
+    labels: np.ndarray          # (B,) int32
+    slide_idx: np.ndarray       # (B,) int32
+    slides: List[str]
+    rna: Optional[np.ndarray] = None
+
+    def __len__(self):
+        return len(self.bags)
+
+
+def make_bags(data: PatchData, bag_size: int = 40, seed: int = 0, drop_last: bool = True) -> BagData:
+    """Group a PatchData into per-slide bags (shuffled within slide, as the
+    reference's ``shuffle()`` does, ``read_data.py:134``)."""
+    rng = np.random.RandomState(seed)
+    bags, labels, slide_idx = [], [], []
+    for sid in range(len(data.slides)):
+        tiles = np.flatnonzero(data.slide_idx == sid)
+        rng.shuffle(tiles)
+        n_full = len(tiles) // bag_size
+        for b in range(n_full):
+            chunk = tiles[b * bag_size : (b + 1) * bag_size]
+            bags.append(data.images[chunk])
+            labels.append(int(data.labels[chunk[0]]))
+            slide_idx.append(sid)
+        if not drop_last and len(tiles) % bag_size:
+            chunk = tiles[n_full * bag_size :]
+            fill = tiles[rng.choice(len(tiles), bag_size - len(chunk))]
+            bags.append(data.images[np.concatenate([chunk, fill])])
+            labels.append(int(data.labels[chunk[0]]))
+            slide_idx.append(sid)
+    if not bags:
+        return BagData(np.zeros((0, bag_size, 0, 0, 3), np.uint8), np.zeros(0, np.int32), np.zeros(0, np.int32), data.slides, data.rna)
+    return BagData(np.stack(bags), np.asarray(labels, np.int32), np.asarray(slide_idx, np.int32), data.slides, data.rna)

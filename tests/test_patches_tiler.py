@@ -1,0 +1,141 @@
+"""Patch datasets over the native store + the WSI tiler: end-to-end
+slide-image -> database -> batches, masking math vs skimage-style semantics,
+bag construction."""
+
+import os
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from rnagan_tpu.data.patches import PatchBatches, load_patch_data, make_bags, slide_db_path
+from rnagan_tpu.data.store import LMDBTileWriter
+from rnagan_tpu.data.tiler import (
+    extract_patches,
+    get_mask_image,
+    is_low_contrast,
+    otsu_threshold,
+    rgb_saturation,
+    tile_slides,
+)
+
+
+def _fake_slide_image(w=512, h=384, seed=0):
+    """Synthetic H&E-ish slide: pinkish tissue blobs on white background."""
+    rng = np.random.RandomState(seed)
+    img = np.full((h, w, 3), 245, np.uint8)
+    for _ in range(6):
+        cx, cy = rng.randint(0, w), rng.randint(0, h)
+        r = rng.randint(60, 120)
+        yy, xx = np.mgrid[0:h, 0:w]
+        blob = (xx - cx) ** 2 + (yy - cy) ** 2 < r**2
+        tissue = np.stack(
+            [
+                rng.randint(150, 220, blob.sum()),
+                rng.randint(60, 120, blob.sum()),
+                rng.randint(140, 200, blob.sum()),
+            ],
+            axis=-1,
+        ).astype(np.uint8)
+        img[blob] = tissue
+    return img
+
+
+def test_otsu_bimodal():
+    x = np.concatenate([np.random.RandomState(0).normal(50, 5, 5000), np.random.RandomState(1).normal(200, 5, 5000)])
+    t = otsu_threshold(x)
+    # with an empty gap between modes, inter-class variance is flat across the
+    # gap and Otsu (skimage included) returns its first maximizer, just above
+    # the lower mode — anywhere separating the modes is correct
+    assert 60 < t < 195
+
+
+def test_otsu_matches_skimage_if_available():
+    skimage_filters = pytest.importorskip("skimage.filters")
+    x = np.random.RandomState(0).randint(0, 256, (64, 64)).astype(np.uint8)
+    np.testing.assert_allclose(otsu_threshold(x), skimage_filters.threshold_otsu(x), atol=1.5)
+
+
+def test_saturation_and_contrast():
+    white = np.full((8, 8, 3), 255, np.uint8)
+    assert rgb_saturation(white).max() < 1e-6
+    assert is_low_contrast(white)
+    img = _fake_slide_image()
+    assert not is_low_contrast(img)
+    mask = get_mask_image(img)
+    assert 0.05 < mask.mean() < 0.9  # tissue found, background excluded
+
+
+def test_extract_patches_end_to_end(tmp_path):
+    from PIL import Image
+
+    img = _fake_slide_image(1024, 768)
+    slide_file = str(tmp_path / "GTEX-TEST-0001.png")
+    Image.fromarray(img).save(slide_file)
+    out_dir = str(tmp_path / "patches")
+    mask_dir = str(tmp_path / "masks")
+    n = extract_patches(
+        slide_file, out_dir, "GTEX-TEST-0001",
+        mask_path=mask_dir, patch_size=(64, 64), max_patches_per_slide=50,
+    )
+    assert n > 0
+    assert os.path.exists(os.path.join(mask_dir, "GTEX-TEST-0001", "mask.npy"))
+    db = os.path.join(out_dir, "GTEX-TEST-0001", "GTEX-TEST-0001.db")
+    assert os.path.exists(db)
+
+    # read back through the dataset layer
+    df = pd.DataFrame(
+        {
+            "wsi_file_name": ["GTEX-TEST-0001"],
+            "patch_data_path": [out_dir],
+            "labels": [0],
+            "rna_g1": [1.5],
+            "rna_g2": [0.0],
+        }
+    )
+    data = load_patch_data(df, max_patches_total=20, with_rna=True)
+    assert 0 < len(data) <= 20
+    assert data.images.shape[1:] == (64, 64, 3)
+    assert data.rna.shape == (1, 2)
+    batches = list(PatchBatches(data, batch_size=4, with_rna=True, pad_to=4).epoch(0))
+    assert batches[0]["image"].shape == (4, 64, 64, 3)
+    assert batches[0]["image"].min() >= -1.0 and batches[0]["image"].max() <= 1.0
+    assert batches[0]["rna_data"].shape == (4, 2)
+
+
+def test_tile_slides_directory(tmp_path):
+    from PIL import Image
+
+    wsi_dir = tmp_path / "wsi"
+    wsi_dir.mkdir()
+    for i in range(2):
+        Image.fromarray(_fake_slide_image(seed=i)).save(str(wsi_dir / f"SLIDE-{i}.png"))
+    done = tile_slides(str(wsi_dir), str(tmp_path / "out"), str(tmp_path / "masks"),
+                       patch_size=64, max_patches_per_slide=10, verbose=False)
+    assert done == 2
+
+
+def test_load_patch_data_skips_missing_slides(tmp_path, capsys):
+    df = pd.DataFrame({"wsi_file_name": ["NOPE.svs"], "patch_data_path": [str(tmp_path)], "labels": [1]})
+    data = load_patch_data(df, verbose=True)
+    assert len(data) == 0
+    assert "Error with db" in capsys.readouterr().out
+
+
+def test_make_bags(tmp_path, rng):
+    # two synthetic slides with different tile counts
+    out_dir = str(tmp_path)
+    rows = []
+    for s, n_tiles in (("S1", 9), ("S2", 5)):
+        os.makedirs(os.path.join(out_dir, s), exist_ok=True)
+        with LMDBTileWriter(slide_db_path(out_dir, s)) as w:
+            for i in range(n_tiles):
+                w.put_tile(f"{s}_patch_{i}", rng.randint(0, 255, (16, 16, 3), dtype=np.uint8))
+        rows.append({"wsi_file_name": s, "patch_data_path": out_dir, "labels": len(rows)})
+    data = load_patch_data(pd.DataFrame(rows), max_patches_total=100)
+    assert len(data) == 14
+    bags = make_bags(data, bag_size=4, drop_last=True)
+    assert bags.bags.shape == (3, 4, 16, 16, 3)  # 2 bags from S1, 1 from S2
+    bags2 = make_bags(data, bag_size=4, drop_last=False)
+    assert len(bags2) == 5
+    assert set(bags2.labels) == {0, 1}
