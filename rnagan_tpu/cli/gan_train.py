@@ -1,0 +1,110 @@
+"""GAN / RNA-GAN training CLI — flag surface of reference
+``src/histopathology_gan.py:54-72``.
+
+Usage (mirrors README.md:55-81 of the reference):
+    python -m rnagan_tpu.cli.gan_train --config configs/gan_run.json \
+        --image_dir images --model_dir checkpoints/gan \
+        --num_epochs 24 --num_patches 600 --gan_type dcgan --loss_type wganvae
+"""
+
+from __future__ import annotations
+
+import argparse
+
+from rnagan_tpu.cli.common import load_gan_dataframe, setup_jax
+
+
+def build_parser():
+    p = argparse.ArgumentParser(description="GANs training on histology data")
+    p.add_argument("--config", type=str, required=True, help="JSON config file")
+    p.add_argument("--checkpoint", type=str, default=None, help="checkpoint to resume from")
+    p.add_argument("--seed", type=int, default=99)
+    p.add_argument("--image_dir", type=str, default="images")
+    p.add_argument("--model_dir", type=str, default="./model/gan")
+    p.add_argument("--num_epochs", type=int, default=None)
+    p.add_argument("--num_patches", type=int, default=250, help="tiles per slide")
+    p.add_argument("--gan_type", type=str, default="dcgan",
+                   help="dcgan | dcgan_up | condgan (the reference's biggan/sagan import "
+                        "missing modules and never ran; SURVEY.md 2.5)")
+    p.add_argument("--loss_type", type=str, default="wganvae",
+                   help="minimax | wgan | wganvae | lsgan")
+    p.add_argument("--vae_checkpoint", type=str, default=None,
+                   help="beta-VAE checkpoint for wganvae (the reference hardcodes this path)")
+    p.add_argument("--batch_size", type=int, default=8)
+    p.add_argument("--compat_reference_gp", action="store_true",
+                   help="reproduce the reference's two-step GP dynamics exactly")
+    p.add_argument("--platform", type=str, default=None)
+    return p
+
+
+def main(argv=None):
+    args = build_parser().parse_args(argv)
+    setup_jax(args.platform)
+
+    from rnagan_tpu.core.config import (
+        GANConfig,
+        GANModelConfig,
+        VAEModelConfig,
+        load_reference_json,
+    )
+    from rnagan_tpu.data.patches import PatchBatches, load_patch_data
+    from rnagan_tpu.data.rna import log_transform, rna_columns, Scaler
+    from rnagan_tpu.train.gan_trainer import GANTrainer
+
+    config = load_reference_json(args.config)
+    print("-" * 10)
+    print("Config for this experiment\n")
+    print(config)
+    print("-" * 10)
+
+    df = load_gan_dataframe(config)
+    with_rna = args.loss_type == "wganvae"
+    if with_rna:
+        # log + standardize the rna_ columns (reference histopathology_gan.py:131-151)
+        cols = rna_columns(df)
+        vals = log_transform(df[cols].values)
+        scaler = Scaler.fit(vals, "standard")
+        df[cols] = scaler.transform(vals)
+
+    data = load_patch_data(df, max_patches_total=args.num_patches, seed=args.seed,
+                           quick=bool(config.get("quick", False)), with_rna=with_rna)
+    print(f"Loaded {len(data)} tiles from {len(data.slides)} slides")
+
+    num_classes = len(config["path_csv"]) if args.gan_type == "condgan" else 0
+    model_cfg = GANModelConfig(
+        arch=args.gan_type,
+        out_size=int(config.get("img_size", 256)),
+        encoding_dims=int(config.get("encoding_dims", 2048)),
+        step_channels=int(config.get("step_channels", 32 if args.gan_type == "condgan" else 64)),
+        num_classes=num_classes,
+        compute_dtype=str(config.get("compute_dtype", "bfloat16")),
+    )
+    vae_model = VAEModelConfig(
+        rna_features=int(config.get("rna_features", 19198)),
+        z_dim=int(config.get("z_dim", 2048)),
+        encoder_dims=tuple(config.get("encoder_dims", (6000, 4000, 2048))),
+        decoder_dims=tuple(config.get("decoder_dims", (4000, 6000))),
+    )
+    cfg = GANConfig(
+        model=model_cfg,
+        loss_type=args.loss_type,
+        batch_size=args.batch_size,
+        num_epochs=args.num_epochs or int(config.get("num_epochs", 900)),
+        vae=vae_model,
+        vae_checkpoint=args.vae_checkpoint or config.get("encoder_checkpoint"),
+        compat_reference_gp=args.compat_reference_gp,
+        seed=args.seed,
+    )
+    trainer = GANTrainer(cfg, image_dir=args.image_dir, model_dir=args.model_dir)
+    state = trainer.load_model(args.checkpoint) if args.checkpoint else None
+
+    n_dev = trainer.mesh.devices.size
+    batches = PatchBatches(data, batch_size=cfg.batch_size, with_rna=with_rna,
+                           with_labels=args.gan_type == "condgan", seed=args.seed, pad_to=n_dev)
+    state, results = trainer.fit(lambda e: batches.epoch(e), state=state)
+    print("Final epoch:", results["history"][-1] if results["history"] else {})
+    return results
+
+
+if __name__ == "__main__":
+    main()

@@ -160,6 +160,11 @@ def vae_config_from_json(raw: Dict[str, Any]) -> "VAEConfig":
     model = VAEModelConfig(
         rna_features=int(raw.get("rna_features", 19198)),
         beta=float(raw.get("beta", 0.0005)),
+        # extension keys (absent from reference configs, which hardcode the
+        # architecture in code — betaVAE_training.py:136)
+        z_dim=int(raw.get("z_dim", 2048)),
+        encoder_dims=tuple(raw.get("encoder_dims", (6000, 4000, 2048))),
+        decoder_dims=tuple(raw.get("decoder_dims", (4000, 6000))),
     )
     return VAEConfig(
         model=model,
