@@ -96,6 +96,8 @@ def main(argv=None):
         seed=args.seed,
     )
     trainer = GANTrainer(cfg, image_dir=args.image_dir, model_dir=args.model_dir)
+    if with_rna and data.rna is not None and len(data.rna):
+        trainer.set_z_population(data.rna)  # bundled for conditioning-preserving generation
     state = trainer.load_model(args.checkpoint) if args.checkpoint else None
 
     n_dev = trainer.mesh.devices.size

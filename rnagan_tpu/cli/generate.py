@@ -94,7 +94,8 @@ def main(argv=None):
             row = 0
         gene = normed[row : row + 1]
         if args.condition_mode == "population":
-            z_pop = z_population_stats(trainer.vae, trainer.vae_variables, normed)
+            # prefer stats bundled at training time; else compute from the CSV
+            z_pop = trainer.z_pop or z_population_stats(trainer.vae, trainer.vae_variables, normed)
 
     key = jax.random.key(args.seed)
     if z_pop is not None:

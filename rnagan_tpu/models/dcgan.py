@@ -72,6 +72,8 @@ class _BN(nn.Module):
 class DCGANGenerator(nn.Module):
     cfg: GANModelConfig
     label_type: str = "none"
+    #: serving paths set False to hand the tanh to the fused uint8 epilogue
+    final_tanh: bool = True
 
     @nn.compact
     def __call__(self, z: jax.Array, labels: Optional[jax.Array] = None, train: bool = True) -> jax.Array:
@@ -97,7 +99,8 @@ class DCGANGenerator(nn.Module):
             x = nn.leaky_relu(x, cfg.leaky_slope)
         x = nn.ConvTranspose(cfg.out_channels, (4, 4), (2, 2), padding="SAME",
                              use_bias=True, dtype=dt, kernel_init=conv_init)(x)
-        return jnp.tanh(x).astype(jnp.float32)
+        x = x.astype(jnp.float32)
+        return jnp.tanh(x) if self.final_tanh else x
 
 
 def upsample2x_bilinear(x: jax.Array) -> jax.Array:

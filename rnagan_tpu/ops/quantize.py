@@ -22,8 +22,10 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def _quant_kernel(x_ref, out_ref):
-    x = jnp.tanh(x_ref[:].astype(jnp.float32))
+def _quant_kernel(x_ref, out_ref, *, apply_tanh: bool):
+    x = x_ref[:].astype(jnp.float32)
+    if apply_tanh:
+        x = jnp.tanh(x)
     x01 = x * 0.5 + 0.5
     scaled = jnp.clip(x01 * 255.0 + 0.5, 0.0, 255.0)  # round-half-up like np.round for x>=0
     # Mosaic has no f32->uint8 cast; go through int32
@@ -39,15 +41,16 @@ def _lane_block(hwc: int, n: int, budget_bytes: int = 2 << 20) -> int:
     return block
 
 
-@jax.jit
-def pallas_tanh_to_uint8(x: jax.Array) -> jax.Array:
-    """x: (N, H, W, C) pre-tanh generator activations -> (N, H, W, C) uint8."""
+@functools.partial(jax.jit, static_argnames=("apply_tanh",))
+def pallas_tanh_to_uint8(x: jax.Array, apply_tanh: bool = True) -> jax.Array:
+    """x: (N, H, W, C) generator activations (pre-tanh when ``apply_tanh``,
+    already in [-1,1] otherwise) -> (N, H, W, C) uint8."""
     n, h, w, c = x.shape
     hwc = h * w * c
     flat = x.reshape(n, hwc)
     block = _lane_block(hwc, n)
     out = pl.pallas_call(
-        _quant_kernel,
+        functools.partial(_quant_kernel, apply_tanh=apply_tanh),
         out_shape=jax.ShapeDtypeStruct(flat.shape, jnp.uint8),
         grid=(hwc // block,),
         in_specs=[pl.BlockSpec((n, block), lambda i: (0, i), memory_space=pltpu.VMEM)],

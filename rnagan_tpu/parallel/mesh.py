@@ -22,6 +22,19 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from rnagan_tpu.core.config import MeshConfig
 
 
+def init_distributed(coordinator_address: Optional[str] = None, num_processes: Optional[int] = None,
+                     process_id: Optional[int] = None) -> None:
+    """Multi-host bring-up: ``jax.distributed.initialize`` (auto-detected on
+    TPU pods when called with no arguments). After this, ``jax.devices()``
+    spans the slice and :func:`make_mesh` lays the data axis over ICI.
+    The reference has no multi-host story at all (SURVEY.md section 2.4)."""
+    kwargs = {}
+    if coordinator_address is not None:
+        kwargs = dict(coordinator_address=coordinator_address,
+                      num_processes=num_processes, process_id=process_id)
+    jax.distributed.initialize(**kwargs)
+
+
 def make_mesh(cfg: Optional[MeshConfig] = None, devices: Optional[Sequence[jax.Device]] = None) -> Mesh:
     """Build a (data, model) mesh. ``cfg.data == -1`` uses every visible device
     on the data axis (model axis size 1)."""

@@ -118,6 +118,9 @@ class GANTrainer:
         else:
             self.vae = None
             self.vae_variables = None
+        #: optional z-population statistics (mean, std) for the
+        #: conditioning-preserving generation mode; bundled into checkpoints
+        self.z_pop: Optional[Tuple[np.ndarray, np.ndarray]] = None
 
         # TTUR Adam (reference histopathology_gan.py:248-259)
         self.g_tx = optax.adam(cfg.g_lr, b1=cfg.adam_b1, b2=cfg.adam_b2)
@@ -310,19 +313,27 @@ class GANTrainer:
             z_pop = (jnp.asarray(z_pop[0], jnp.float32), jnp.asarray(z_pop[1], jnp.float32))
         return np.asarray(jax.device_get(self._sample(state, key, n, gene, z_pop)))
 
+    def set_z_population(self, rna_matrix: np.ndarray) -> None:
+        """Compute and retain z-population statistics over the (normalized)
+        training expression matrix (losses/rna_infusion.z_population_stats);
+        saved into every checkpoint so generation can preserve conditioning."""
+        from rnagan_tpu.losses.rna_infusion import z_population_stats
+
+        assert self.vae is not None, "z population stats need the wganvae loss family"
+        self.z_pop = z_population_stats(self.vae, self.vae_variables, rna_matrix)
+
     # ------------------------------------------------------------ checkpoints
     def save_model(self, state: GANTrainState, path: str, metadata=None) -> None:
         """Bundled checkpoint — the ``.model`` equivalent (G+D+optimizers+step,
         reference torchgan checkpoints, SURVEY.md section 5.4)."""
-        save_bundle(
-            path,
-            {
-                "g_params": state.g_params, "g_stats": state.g_stats, "g_opt": state.g_opt,
-                "d_params": state.d_params, "d_stats": state.d_stats, "d_opt": state.d_opt,
-                "step": state.step,
-            },
-            metadata or {},
-        )
+        trees = {
+            "g_params": state.g_params, "g_stats": state.g_stats, "g_opt": state.g_opt,
+            "d_params": state.d_params, "d_stats": state.d_stats, "d_opt": state.d_opt,
+            "step": state.step,
+        }
+        if self.z_pop is not None:
+            trees["z_pop"] = {"mean": np.asarray(self.z_pop[0]), "std": np.asarray(self.z_pop[1])}
+        save_bundle(path, trees, metadata or {})
 
     def load_model(self, path: str) -> GANTrainState:
         """Resume from a bundle (the ``trainer.load_model`` equivalent,
@@ -334,6 +345,8 @@ class GANTrainer:
             "step": template.step,
         }
         trees, _ = load_bundle(path, targets)
+        if "z_pop" in trees:
+            self.z_pop = (np.asarray(trees["z_pop"]["mean"]), np.asarray(trees["z_pop"]["std"]))
         state = GANTrainState(
             step=jnp.asarray(trees["step"], jnp.int32),
             g_params=trees["g_params"], g_stats=trees["g_stats"], g_opt=trees["g_opt"],

@@ -1,0 +1,70 @@
+"""Serving optimizations: BN folding equivalence and the fused uint8 path."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental.pallas import tpu as pltpu
+
+from rnagan_tpu.core.config import GANModelConfig
+from rnagan_tpu.eval.serving import fold_generator, make_serving_fn
+from rnagan_tpu.models.dcgan import init_gan, make_generator
+
+CFG = GANModelConfig(encoding_dims=16, out_size=32, step_channels=8, compute_dtype="float32")
+
+
+def _trained_like_stats(gv, seed=0):
+    """Perturb batch_stats away from init (mean 0 / var 1) so folding is
+    actually exercised."""
+    rng = np.random.RandomState(seed)
+
+    def perturb(path, x):
+        x = np.asarray(x)
+        name = path[-1].key if hasattr(path[-1], "key") else str(path[-1])
+        if name == "mean":
+            return x + rng.randn(*x.shape).astype(np.float32) * 0.2
+        return x * (1.0 + rng.rand(*x.shape).astype(np.float32))
+
+    stats = jax.tree_util.tree_map_with_path(perturb, gv["batch_stats"])
+    params = jax.tree_util.tree_map_with_path(
+        lambda p, x: np.asarray(x) + rng.randn(*np.asarray(x).shape).astype(np.float32) * 0.05,
+        gv["params"],
+    )
+    return params, stats
+
+
+def test_fold_generator_equivalence(rng):
+    gv, _ = init_gan(CFG, jax.random.key(0))
+    params, stats = _trained_like_stats(gv)
+    gen = make_generator(CFG)
+    z = jnp.asarray(rng.randn(4, 16), jnp.float32)
+    ref = gen.apply({"params": params, "batch_stats": stats}, z, train=False)
+    module, variables = fold_generator(CFG, params, stats)
+    got = module.apply(variables, z, train=False)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-5)
+
+
+def test_fold_generator_up_variant(rng):
+    cfg = GANModelConfig(arch="dcgan_up", encoding_dims=16, out_size=32, step_channels=8,
+                         compute_dtype="float32")
+    gv, _ = init_gan(cfg, jax.random.key(1))
+    params, stats = _trained_like_stats(gv, seed=1)
+    gen = make_generator(cfg)
+    z = jnp.asarray(rng.randn(2, 16), jnp.float32)
+    ref = gen.apply({"params": params, "batch_stats": stats}, z, train=False)
+    module, variables = fold_generator(cfg, params, stats)
+    got = module.apply(variables, z, train=False)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-5)
+
+
+def test_serving_fn_uint8(rng):
+    gv, _ = init_gan(CFG, jax.random.key(0))
+    params, stats = _trained_like_stats(gv)
+    z = jnp.asarray(rng.randn(4, 16), jnp.float32)
+    with pltpu.force_tpu_interpret_mode():
+        fn = make_serving_fn(CFG, params, stats, weights_dtype=jnp.float32, uint8_output=True)
+        got = np.asarray(fn(z))
+    assert got.dtype == np.uint8 and got.shape == (4, 32, 32, 3)
+    # equals the float path quantized
+    fn_f = make_serving_fn(CFG, params, stats, weights_dtype=jnp.float32, uint8_output=False)
+    ref = np.clip(np.round((np.asarray(fn_f(z)) * 0.5 + 0.5) * 255), 0, 255).astype(np.uint8)
+    assert np.abs(got.astype(int) - ref.astype(int)).max() <= 1

@@ -1,0 +1,82 @@
+"""Serving-path A/B benchmark on the real chip (chained-scan differential
+timing — see bench.py for why naive timing lies on this backend).
+
+Compares at full production size (256x256, z=2048, step 64, batch 64):
+  A. baseline eval-mode generator (BN + f32 params + float output)
+  B. BN-folded, bf16-weight generator (float output)
+  C. B + fused Pallas tanh->uint8 epilogue
+"""
+
+import time
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+try:
+    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+except Exception:
+    pass
+
+BATCH = 64
+N_SHORT, N_LONG = 2, 18
+
+
+def chained(apply_fn, n_iters, key):
+    def body(carry, i):
+        noise = jax.random.normal(jax.random.fold_in(key, i), (BATCH, 2048)) + carry * 1e-6
+        img = apply_fn(noise)
+        return jnp.mean(img.astype(jnp.float32)), None
+
+    carry, _ = jax.lax.scan(body, jnp.float32(0), jnp.arange(n_iters))
+    return carry
+
+
+def timed(apply_fn, key):
+    run = jax.jit(partial(chained, apply_fn), static_argnums=(0,))
+    out = {}
+    for n in (N_SHORT, N_LONG):
+        float(run(n, key))  # compile + warm
+        best = float("inf")
+        for _ in range(4):
+            t0 = time.perf_counter()
+            float(run(n, key))
+            best = min(best, time.perf_counter() - t0)
+        out[n] = best
+    per_batch = (out[N_LONG] - out[N_SHORT]) / (N_LONG - N_SHORT)
+    return BATCH / per_batch, per_batch
+
+
+def main():
+    from rnagan_tpu.core.config import GANModelConfig
+    from rnagan_tpu.eval.serving import fold_generator, make_serving_fn
+    from rnagan_tpu.models.dcgan import init_gan, make_generator
+
+    cfg = GANModelConfig()
+    key = jax.random.key(0)
+    gv, _ = init_gan(cfg, key)
+    gen = make_generator(cfg)
+    base_vars = {"params": gv["params"], "batch_stats": gv["batch_stats"]}
+
+    def baseline(noise):
+        return gen.apply(base_vars, noise, train=False)
+
+    tps, pb = timed(baseline, key)
+    print(f"A baseline (BN, f32 weights, f32 out):  {tps:9.1f} tiles/s  ({pb*1e3:.2f} ms/batch)", flush=True)
+
+    module, variables = fold_generator(cfg, gv["params"], gv["batch_stats"], dtype=jnp.bfloat16)
+
+    def folded(noise):
+        return module.apply(variables, noise, train=False)
+
+    tps, pb = timed(folded, key)
+    print(f"B folded BN, bf16 weights, f32 out:     {tps:9.1f} tiles/s  ({pb*1e3:.2f} ms/batch)", flush=True)
+
+    serve = make_serving_fn(cfg, gv["params"], gv["batch_stats"], weights_dtype=jnp.bfloat16, uint8_output=True)
+    tps, pb = timed(serve, key)
+    print(f"C  + fused Pallas tanh->uint8 epilogue: {tps:9.1f} tiles/s  ({pb*1e3:.2f} ms/batch)", flush=True)
+
+
+if __name__ == "__main__":
+    main()
