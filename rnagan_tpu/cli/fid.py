@@ -54,12 +54,18 @@ def main(argv=None):
         cols = rna_columns(df)
         vals = log_transform(df[cols].values)
         df[cols] = Scaler.fit(vals, "standard").transform(vals)
-        if args.patient1:
-            row = int(np.flatnonzero(df["wsi_file_name"].values == args.patient1)[0])
-            gene = df[cols].values[row : row + 1].astype(np.float32)
 
-    data = load_patch_data(df, max_patches_total=args.num_patches, seed=args.seed)
-    real01 = data.images[: args.num_images].astype(np.float32) / 255.0
+    if args.patient1:
+        # per-patient protocol: real side = that patient's own tiles
+        # (reference load_images_from_patient, gan_utils.py:120-195)
+        from rnagan_tpu.data.patches import patient_tiles
+
+        tiles, rna = patient_tiles(df, args.patient1, args.num_images, seed=args.seed)
+        real01 = tiles.astype(np.float32) / 255.0
+        gene = rna if args.vae else None
+    else:
+        data = load_patch_data(df, max_patches_total=args.num_patches, seed=args.seed)
+        real01 = data.images[: args.num_images].astype(np.float32) / 255.0
     print(f"real set: {len(real01)} tiles")
 
     variables = None

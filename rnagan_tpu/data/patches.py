@@ -115,6 +115,28 @@ def load_patch_data(
     )
 
 
+def patient_tiles(
+    df: pd.DataFrame, patient: str, n: int, *, seed: int = 99
+) -> Tuple[np.ndarray, Optional[np.ndarray]]:
+    """Random tiles + RNA row for one patient's slide — the
+    ``load_images_from_patient`` equivalent (reference ``gan_utils.py:120-195``:
+    pick the CSV row by wsi_file_name, sample n tiles from that slide's LMDB).
+    Returns (uint8 RGB tiles, rna row or None)."""
+    row = df[df["wsi_file_name"] == patient]
+    if len(row) == 0:
+        raise KeyError(f"patient {patient} not in dataframe")
+    row = row.iloc[0]
+    path = slide_db_path(row["patch_data_path"], row["wsi_file_name"])
+    rng = np.random.RandomState(seed)
+    with LMDBTileStore(path) as store:
+        keys = store.keys()
+        chosen = [keys[i] for i in rng.choice(len(keys), min(n, len(keys)), replace=False)]
+        tiles, _ = store.load_tiles(chosen)
+    cols = rna_columns(df)
+    rna = np.asarray(row[cols].values, np.float32)[None, :] if cols else None
+    return tiles, rna
+
+
 class PatchBatches:
     """Epoch batch iterator over a PatchData — yields the GAN trainer's batch
     dicts (image in [-1,1], optional rna_data / labels)."""

@@ -139,3 +139,22 @@ def test_make_bags(tmp_path, rng):
     bags2 = make_bags(data, bag_size=4, drop_last=False)
     assert len(bags2) == 5
     assert set(bags2.labels) == {0, 1}
+
+
+def test_patient_tiles(tmp_path, rng):
+    from rnagan_tpu.data.patches import patient_tiles
+
+    out_dir = str(tmp_path)
+    name = "GTEX-P1-0001.svs"
+    os.makedirs(os.path.join(out_dir, name), exist_ok=True)
+    with LMDBTileWriter(slide_db_path(out_dir, name)) as w:
+        for i in range(8):
+            w.put_tile(f"p{i}", rng.randint(0, 255, (16, 16, 3), dtype=np.uint8))
+    df = pd.DataFrame({"wsi_file_name": [name], "patch_data_path": [out_dir],
+                       "rna_a": [1.0], "rna_b": [2.0]})
+    tiles, rna = patient_tiles(df, name, 5)
+    assert tiles.shape == (5, 16, 16, 3)
+    np.testing.assert_allclose(rna, [[1.0, 2.0]])
+    import pytest as _pytest
+    with _pytest.raises(KeyError):
+        patient_tiles(df, "missing", 5)
