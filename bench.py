@@ -40,13 +40,17 @@ def main():
     from rnagan_tpu.models.betavae import BetaVAE, init_betavae
     from rnagan_tpu.models.dcgan import init_gan, make_generator
 
+    from rnagan_tpu.eval.serving import fold_generator
+
     vae_cfg = VAEModelConfig(compute_dtype="bfloat16")
-    model_cfg = GANModelConfig()  # 256x256, z 2048, step 64, bf16
+    model_cfg = GANModelConfig()  # 256x256, z 2048, step 64, bf16 compute
     key = jax.random.key(0)
     vae = BetaVAE(vae_cfg)
     vae_vars = init_betavae(vae_cfg, key)
     gv, _ = init_gan(model_cfg, jax.random.fold_in(key, 1))
-    generator = make_generator(model_cfg)
+    # best measured serving path (tools/serve_bench.py): BN folded into conv
+    # kernels, f32 weights (explicit bf16 weights regress on this backend)
+    generator, g_vars_folded = fold_generator(model_cfg, gv["params"], gv["batch_stats"])
     gene = jax.random.normal(key, (BATCH, vae_cfg.rna_features), jnp.float32)
 
     @partial(jax.jit, static_argnums=(3,))
@@ -64,7 +68,7 @@ def main():
         carry, _ = jax.lax.scan(body, jnp.float32(0), jnp.arange(n_iters))
         return carry
 
-    g_vars = {"params": gv["params"], "batch_stats": gv["batch_stats"]}
+    g_vars = g_vars_folded
 
     def timed(n):
         float(chained_synth(g_vars, vae_vars, gene, n, key))  # compile + warm

@@ -33,6 +33,8 @@ def build_parser():
     p.add_argument("--batch_size", type=int, default=8)
     p.add_argument("--compat_reference_gp", action="store_true",
                    help="reproduce the reference's two-step GP dynamics exactly")
+    p.add_argument("--auto_resume", action="store_true",
+                   help="resume from model_dir/gan_last.model when present")
     p.add_argument("--platform", type=str, default=None)
     return p
 
@@ -103,7 +105,7 @@ def main(argv=None):
     n_dev = trainer.mesh.devices.size
     batches = PatchBatches(data, batch_size=cfg.batch_size, with_rna=with_rna,
                            with_labels=args.gan_type == "condgan", seed=args.seed, pad_to=n_dev)
-    state, results = trainer.fit(lambda e: batches.epoch(e), state=state)
+    state, results = trainer.fit(lambda e: batches.epoch(e), state=state, auto_resume=args.auto_resume)
     print("Final epoch:", results["history"][-1] if results["history"] else {})
     return results
 

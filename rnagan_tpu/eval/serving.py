@@ -9,8 +9,13 @@ channel rescaled kernel and bias:
                                    g = scale / sqrt(var + eps)
 
 This removes every BN op from the serving graph (VPU work + HBM round-trips
-between MXU convs) and lets weights be cast to bfloat16 once (halving weight
-HBM traffic — the 4x4x2048->2048 head kernel alone is 268 MB in f32).
+between MXU convs). Measured on v5e (tools/serve_bench.py, batch 64, 256px):
+folding gains ~3% (16.6k -> 17.0k tiles/s). Casting *weights* to bfloat16
+REGRESSES ~25% on this backend (13.0k tiles/s) — XLA already runs f32-param
+convs on the bf16 MXU, and explicit bf16 weights select a slower path — so
+``weights_dtype`` defaults to float32. The fused uint8 epilogue costs ~5%
+on-device but shrinks device->host transfers 4x (the right trade whenever
+tiles leave the chip: 0.6s vs 4.2s per 64-tile fetch over this link).
 
 ``fold_generator`` returns a ``batchnorm=False`` generator config + folded
 params that produce bit-comparable outputs to the original eval-mode model.
@@ -86,7 +91,7 @@ def fold_generator(
     return module, {"params": folded}
 
 
-def make_serving_fn(cfg: GANModelConfig, g_params, g_stats, *, weights_dtype=jnp.bfloat16, uint8_output: bool = True):
+def make_serving_fn(cfg: GANModelConfig, g_params, g_stats, *, weights_dtype=jnp.float32, uint8_output: bool = True):
     """Build the fastest synthesis function: BN-folded generator with
     ``weights_dtype`` weights, optionally ending in the fused Pallas
     tanh->uint8 epilogue (ops/quantize.py). Returns ``fn(noise) -> images``

@@ -363,11 +363,20 @@ class GANTrainer:
         state: Optional[GANTrainState] = None,
         sample_every: int = 1,
         save_every: int = 1,
+        auto_resume: bool = False,
     ) -> Tuple[GANTrainState, Dict[str, Any]]:
         """Epoch loop. ``batches_per_epoch_fn(epoch) -> iterable of batch
         dicts`` (numpy NHWC images in [-1,1], plus rna_data/labels as needed).
-        Writes sample grids and checkpoints like the reference Trainer."""
+        Writes sample grids and checkpoints like the reference Trainer.
+        ``auto_resume`` restarts from ``model_dir/gan_last.model`` when present
+        — preemption recovery the reference only offers manually via
+        ``--checkpoint`` (SURVEY.md 5.3)."""
         cfg = self.cfg
+        if state is None and auto_resume and self.model_dir:
+            last = os.path.join(self.model_dir, "gan_last.model")
+            if os.path.exists(last):
+                self.logger.console(f"auto-resuming from {last}")
+                state = self.load_model(last)
         state = state if state is not None else self.init_state()
         num_epochs = num_epochs if num_epochs is not None else cfg.num_epochs
         timer = StepTimer()
