@@ -16,6 +16,19 @@ from typing import Dict, List, Optional
 import jax
 
 
+def memory_usage(device: Optional[jax.Device] = None) -> Dict[str, float]:
+    """Device memory stats in GiB (the ``utils.memory_usage`` equivalent,
+    reference ``src/utils.py:3-10``, which printed CUDA allocator stats)."""
+    device = device or jax.devices()[0]
+    stats = device.memory_stats() or {}
+    gib = 1024**3
+    return {
+        "bytes_in_use_gib": stats.get("bytes_in_use", 0) / gib,
+        "peak_bytes_in_use_gib": stats.get("peak_bytes_in_use", 0) / gib,
+        "bytes_limit_gib": stats.get("bytes_limit", 0) / gib,
+    }
+
+
 @contextlib.contextmanager
 def trace(log_dir: str):
     """Capture a jax.profiler trace (view with TensorBoard or Perfetto)."""
