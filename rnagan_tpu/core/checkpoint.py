@@ -86,6 +86,42 @@ def load_bundle(path: str, targets: Optional[Dict[str, Any]] = None):
     return raw, meta
 
 
+class AsyncSaver:
+    """Background-thread checkpoint writer.
+
+    ``device_get`` + serialization of a multi-GB GAN state over a slow
+    host link would stall the training loop once per epoch; this fetches and
+    writes on a worker thread while the next epoch trains. One in-flight save
+    at a time — a newer request waits for the previous write to finish (so
+    the newest state always wins and disk writes never interleave).
+    """
+
+    def __init__(self):
+        import threading
+
+        self._lock = threading.Lock()
+        self._thread = None
+
+    def save_bundle(self, path: str, trees: Dict[str, Any], metadata: Optional[Dict[str, Any]] = None) -> None:
+        import threading
+
+        self.wait()
+        # snapshot on the caller thread (cheap: device buffers are immutable,
+        # fetching happens on the worker)
+
+        def work():
+            with self._lock:
+                save_bundle(path, trees, metadata)
+
+        self._thread = threading.Thread(target=work, daemon=True)
+        self._thread.start()
+
+    def wait(self) -> None:
+        if self._thread is not None:
+            self._thread.join()
+            self._thread = None
+
+
 class BestKeeper:
     """Track best-on-validation checkpoints, mirroring the reference's
     best/last pattern (``model_dict_best.pt`` + ``model_last.pt``,

@@ -45,7 +45,7 @@ import numpy as np
 import optax
 from flax import struct
 
-from rnagan_tpu.core.checkpoint import load_bundle, save_bundle
+from rnagan_tpu.core.checkpoint import AsyncSaver, load_bundle, save_bundle
 from rnagan_tpu.core.config import GANConfig
 from rnagan_tpu.core.metrics import MetricsLogger
 from rnagan_tpu.core.profiling import StepTimer
@@ -127,6 +127,7 @@ class GANTrainer:
         self.d_tx = optax.adam(cfg.d_lr, b1=cfg.adam_b1, b2=cfg.adam_b2)
         self._train_step = jax.jit(self._train_step_impl, donate_argnums=(0,))
         self._sample = jax.jit(self._sample_impl, static_argnums=(2,))
+        self._saver = AsyncSaver()
 
     # ------------------------------------------------------------------ state
     def init_state(self) -> GANTrainState:
@@ -143,14 +144,16 @@ class GANTrainer:
         return jax.device_put(state, replicated(self.mesh))
 
     # ------------------------------------------------------------------ noise
-    def _noise(self, key, batch: Dict[str, jax.Array]) -> jax.Array:
+    def _noise(self, key, batch: Dict[str, jax.Array], vae_variables) -> jax.Array:
         """Per-stage noise prior: VAE-infused for wganvae (reference
         ``wgan_loss.py:97-106``), standard normal otherwise (torchgan
-        sampler)."""
+        sampler). ``vae_variables`` is threaded as a runtime argument — a
+        closure would inline ~0.5 GB of frozen VAE weights into the HLO as
+        constants (breaks remote compilers and bloats every executable)."""
         n = batch["image"].shape[0]
         dims = self.cfg.model.encoding_dims
         if self.cfg.loss_type == "wganvae":
-            z_mean = encode_z_mean(self.vae, self.vae_variables, batch["rna_data"])
+            z_mean = encode_z_mean(self.vae, vae_variables, batch["rna_data"])
             return infused_noise(key, z_mean, self.cfg.noise_range)
         return jax.random.normal(key, (n, dims), jnp.float32)
 
@@ -172,7 +175,7 @@ class GANTrainer:
         )
         return out, upd["batch_stats"]
 
-    def _train_step_impl(self, state: GANTrainState, batch: Dict[str, jax.Array]):
+    def _train_step_impl(self, state: GANTrainState, batch: Dict[str, jax.Array], vae_variables=None):
         cfg = self.cfg
         loss_type = cfg.loss_type
         labels = self._labels(batch)
@@ -194,7 +197,7 @@ class GANTrainer:
             d_params = gan_losses.clip_params(d_params, cfg.clip[0], cfg.clip[1])
 
         # ---------------- D stage (critic loss, optionally fused with GP)
-        noise_d = self._noise(k_d, batch)
+        noise_d = self._noise(k_d, batch, vae_variables)
         fake_d, g_stats = self._g_apply(g_params, g_stats, noise_d, labels)
         fake_d = jax.lax.stop_gradient(fake_d)
         if fused_gp:
@@ -230,7 +233,7 @@ class GANTrainer:
 
         # ---------------- GP stage (separate Adam step — reference dynamics)
         if use_gp and not fused_gp:
-            noise_gp = self._noise(k_gp, batch)
+            noise_gp = self._noise(k_gp, batch, vae_variables)
             fake_gp, g_stats = self._g_apply(g_params, g_stats, noise_gp, labels)
             fake_gp = jax.lax.stop_gradient(fake_gp)
             # reference quirk: ONE scalar eps for the whole batch (wgan_loss.py:376)
@@ -252,7 +255,7 @@ class GANTrainer:
             metrics["gp"] = gp_val
 
         # ---------------- G stage
-        noise_g = self._noise(k_g, batch)
+        noise_g = self._noise(k_g, batch, vae_variables)
 
         def g_loss_fn(p):
             fake, gs = self._g_apply(p, g_stats, noise_g, labels)
@@ -279,7 +282,7 @@ class GANTrainer:
 
     # -------------------------------------------------------------- sampling
     def _sample_impl(self, state: GANTrainState, key, n: int, gene: Optional[jax.Array] = None,
-                     z_pop: Optional[Tuple[jax.Array, jax.Array]] = None):
+                     z_pop: Optional[Tuple[jax.Array, jax.Array]] = None, vae_variables=None):
         """Generate n images in eval mode. With ``gene`` (wganvae), noise is
         the infusion prior broadcast from a patient's z_mean (reference
         ``gan_utils.py:211-216``). NOTE (discovered reference property): with a
@@ -289,7 +292,7 @@ class GANTrainer:
         conditioning-preserving variant."""
         dims = self.cfg.model.encoding_dims
         if gene is not None:
-            z_mean = encode_z_mean(self.vae, self.vae_variables, gene)
+            z_mean = encode_z_mean(self.vae, vae_variables, gene)
             if z_pop is not None:
                 noise = infused_noise_population(
                     key, z_mean, z_pop[0], z_pop[1], n, self.cfg.noise_range
@@ -311,7 +314,7 @@ class GANTrainer:
     def sample(self, state: GANTrainState, key, n: int, gene=None, z_pop=None) -> np.ndarray:
         if z_pop is not None:
             z_pop = (jnp.asarray(z_pop[0], jnp.float32), jnp.asarray(z_pop[1], jnp.float32))
-        return np.asarray(jax.device_get(self._sample(state, key, n, gene, z_pop)))
+        return np.asarray(jax.device_get(self._sample(state, key, n, gene, z_pop, self.vae_variables)))
 
     def set_z_population(self, rna_matrix: np.ndarray) -> None:
         """Compute and retain z-population statistics over the (normalized)
@@ -323,9 +326,10 @@ class GANTrainer:
         self.z_pop = z_population_stats(self.vae, self.vae_variables, rna_matrix)
 
     # ------------------------------------------------------------ checkpoints
-    def save_model(self, state: GANTrainState, path: str, metadata=None) -> None:
+    def save_model(self, state: GANTrainState, path: str, metadata=None, async_: bool = False) -> None:
         """Bundled checkpoint — the ``.model`` equivalent (G+D+optimizers+step,
-        reference torchgan checkpoints, SURVEY.md section 5.4)."""
+        reference torchgan checkpoints, SURVEY.md section 5.4). ``async_``
+        fetches+writes on a worker thread (slow host links)."""
         trees = {
             "g_params": state.g_params, "g_stats": state.g_stats, "g_opt": state.g_opt,
             "d_params": state.d_params, "d_stats": state.d_stats, "d_opt": state.d_opt,
@@ -333,7 +337,10 @@ class GANTrainer:
         }
         if self.z_pop is not None:
             trees["z_pop"] = {"mean": np.asarray(self.z_pop[0]), "std": np.asarray(self.z_pop[1])}
-        save_bundle(path, trees, metadata or {})
+        if async_:
+            self._saver.save_bundle(path, trees, metadata or {})
+        else:
+            save_bundle(path, trees, metadata or {})
 
     def load_model(self, path: str) -> GANTrainState:
         """Resume from a bundle (the ``trainer.load_model`` equivalent,
@@ -387,7 +394,7 @@ class GANTrainer:
             for batch in batches_per_epoch_fn(epoch):
                 sharded = shard_batch(batch, self.mesh)
                 timer.start()
-                state, metrics = self._train_step(state, sharded)
+                state, metrics = self._train_step(state, sharded, self.vae_variables)
                 timer.stop(metrics["d_loss"])
                 metrics = jax.device_get(metrics)
                 for k, v in metrics.items():
@@ -404,5 +411,7 @@ class GANTrainer:
                 imgs = self.sample(state, self.keys.fold("grid", epoch), cfg.sample_size)
                 save_image_grid(imgs, os.path.join(self.image_dir, f"epoch_{epoch}.png"), nrow=8)
             if self.model_dir and (epoch + 1) % save_every == 0:
-                self.save_model(state, os.path.join(self.model_dir, "gan_last.model"), {"epoch": epoch})
+                self.save_model(state, os.path.join(self.model_dir, "gan_last.model"),
+                                {"epoch": epoch}, async_=True)
+        self._saver.wait()
         return state, {"history": history, "timing": timer.stats()}

@@ -75,3 +75,16 @@ def test_vae_config_from_reference_json():
     assert cfg.model.beta == 0.0005
     assert cfg.lr == 5e-5
     assert cfg.batch_size == 128
+
+
+def test_async_saver(tmp_path):
+    from rnagan_tpu.core.checkpoint import AsyncSaver, load_bundle
+
+    saver = AsyncSaver()
+    p = str(tmp_path / "a.model")
+    saver.save_bundle(p, {"x": np.arange(4)}, {"epoch": 1})
+    saver.save_bundle(p, {"x": np.arange(4) * 2}, {"epoch": 2})  # waits for first
+    saver.wait()
+    trees, meta = load_bundle(p)
+    assert meta["epoch"] == 2
+    np.testing.assert_array_equal(trees["x"], np.arange(4) * 2)
