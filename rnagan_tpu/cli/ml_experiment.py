@@ -22,7 +22,7 @@ def build_parser():
     p = argparse.ArgumentParser(description="GBM vs LUAD tile classification, 5-fold CV")
     p.add_argument("--csv", type=str, required=True,
                    help="CSV of tile paths + labels (wsi_tiles_real.csv format)")
-    p.add_argument("--path_column", type=str, default="path")
+    p.add_argument("--path_column", type=str, default="wsi_file_name")
     p.add_argument("--label_column", type=str, default="label")
     p.add_argument("--test_csv", type=str, default=None, help="held-out test tiles")
     p.add_argument("--num_epochs", type=int, default=40)

@@ -72,10 +72,19 @@ def shard_batch(batch: Any, mesh: Mesh) -> Any:
     or drop remainders host-side so jitted shapes stay static (the reference
     keeps shapes static the same way — sampling at dataset-build time,
     ``read_data.py:205-207``).
+
+    Multi-host: when this process only holds its local shard of the batch
+    (``jax.process_count() > 1``), arrays are assembled with
+    ``make_array_from_process_local_data`` so each host contributes its slice
+    of the global batch.
     """
+    multihost = jax.process_count() > 1
 
     def put(x):
         arr = np.asarray(x)
-        return jax.device_put(arr, batch_sharding(mesh, arr.ndim))
+        sharding = batch_sharding(mesh, arr.ndim)
+        if multihost:
+            return jax.make_array_from_process_local_data(sharding, arr)
+        return jax.device_put(arr, sharding)
 
     return jax.tree_util.tree_map(put, batch)

@@ -197,3 +197,30 @@ def test_main_dispatcher(capsys):
     assert main_cli.main([]) == 0
     assert "gan-train" in capsys.readouterr().out
     assert main_cli.main(["nope"]) == 2
+
+
+def test_ml_experiment_cli(workspace, tmp_path):
+    from PIL import Image
+
+    rng = np.random.RandomState(2)
+    tile_dir = tmp_path / "mltiles"
+    tile_dir.mkdir()
+    rows = []
+    for i in range(24):
+        label = "TCGA-GBM" if i % 2 == 0 else "TCGA-LUAD"
+        arr = (rng.rand(32, 32, 3) * 255).astype(np.uint8)
+        if label == "TCGA-GBM":
+            arr = np.minimum(arr + 100, 255).astype(np.uint8)  # separable classes
+        p = str(tile_dir / f"tile_{i}.png")
+        Image.fromarray(arr).save(p)
+        rows.append({"wsi_file_name": p, "label": label})
+    csv = str(tmp_path / "tiles.csv")
+    pd.DataFrame(rows).to_csv(csv, index=False)
+
+    results = ml_cli.main([
+        "--csv", csv, "--num_epochs", "1", "--folds", "2",
+        "--batch_size", "8", "--image_size", "32", "--arch", "resnet18",
+        "--save_path", str(tmp_path / "exp.pkl"),
+    ])
+    assert 0.0 <= results["mean_accuracy"] <= 1.0
+    assert os.path.exists(tmp_path / "exp.pkl")
