@@ -24,8 +24,10 @@ import jax
 import jax.numpy as jnp
 
 BASELINE_TILES_PER_SEC = 5000.0
-BATCH = 64
-N_SHORT, N_LONG = 2, 22
+# batch sweep on v5e (folded generator): 64 -> 17.0k, 128 -> 24.7k,
+# 256 -> 25.7k tiles/s; 128 amortizes weight loads with headroom to spare
+BATCH = 128
+N_SHORT, N_LONG = 2, 12
 
 try:
     jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
