@@ -6,7 +6,6 @@ import os
 import pickle
 from typing import Any, Dict, Optional
 
-import numpy as np
 
 
 def setup_jax(platform: Optional[str] = None, cache_dir: str = ".jax_cache"):

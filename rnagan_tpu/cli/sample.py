@@ -11,8 +11,6 @@ from __future__ import annotations
 import argparse
 import pickle
 
-import numpy as np
-
 from rnagan_tpu.cli.common import dump_pickle, setup_jax
 
 

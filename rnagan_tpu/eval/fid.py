@@ -21,7 +21,6 @@ TPU re-design:
 from __future__ import annotations
 
 import math
-from functools import partial
 from typing import Optional, Tuple
 
 import jax

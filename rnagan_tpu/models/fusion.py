@@ -15,14 +15,14 @@ FC head). These modules implement that declared intent TPU-natively:
 
 from __future__ import annotations
 
-from typing import Any, Optional, Sequence
+from typing import Sequence
 
 import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
 from rnagan_tpu.models.betavae import RNAEncoder
-from rnagan_tpu.models.resnet import ResNet, resnet50
+from rnagan_tpu.models.resnet import ResNet
 
 
 class AggregationModel(nn.Module):

@@ -19,7 +19,7 @@ fine for pipeline tests but NOT comparable to published FID numbers — pass a
 from __future__ import annotations
 
 from functools import partial
-from typing import Any, Dict, Sequence, Tuple
+from typing import Any, Dict, Tuple
 
 import jax
 import jax.numpy as jnp

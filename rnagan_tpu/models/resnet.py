@@ -15,8 +15,7 @@ Convs run in bfloat16 on the MXU by default; params are float32.
 
 from __future__ import annotations
 
-from functools import partial
-from typing import Any, Dict, Optional, Sequence, Tuple
+from typing import Any, Dict, Sequence
 
 import jax
 import jax.numpy as jnp

@@ -37,7 +37,7 @@ checkpoint (G+D params+stats+optimizer states+step) into ``model_dir``.
 from __future__ import annotations
 
 import os
-from typing import Any, Dict, Iterable, Optional, Tuple
+from typing import Any, Dict, Optional, Tuple
 
 import jax
 import jax.numpy as jnp

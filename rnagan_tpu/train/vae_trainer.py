@@ -18,7 +18,6 @@ Differences from the reference (intentional):
 
 from __future__ import annotations
 
-import functools
 from typing import Any, Dict, Optional, Tuple
 
 import jax
@@ -34,7 +33,6 @@ from rnagan_tpu.core.profiling import StepTimer
 from rnagan_tpu.core.rng import KeyStream, step_key
 from rnagan_tpu.data.rna import Scaler, batch_iterator
 from rnagan_tpu.models.betavae import BetaVAE, init_betavae
-from rnagan_tpu.losses.vae import beta_vae_loss
 from rnagan_tpu.parallel.mesh import make_mesh, replicated, shard_batch
 from rnagan_tpu.train.schedules import gradual_warmup_cosine
 
