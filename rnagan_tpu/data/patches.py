@@ -181,6 +181,104 @@ class PatchBatches:
             yield batch
 
 
+class StreamingPatchBatches:
+    """Batch iterator that decodes tiles on demand — for corpora larger than
+    host RAM. A build-time scan samples (db_path, key, label, rna_row) per
+    tile (static shapes, like the reference's build-time key sampling); each
+    epoch shuffles the index and a background thread (data/tiles.Prefetcher)
+    decodes the next batches from the mmap'd stores while the device trains.
+    """
+
+    def __init__(
+        self,
+        df: pd.DataFrame,
+        *,
+        batch_size: int = 8,
+        max_patches_total: int = 300,
+        with_rna: bool = False,
+        with_labels: bool = False,
+        seed: int = 99,
+        pad_to: int = 1,
+        prefetch_depth: int = 2,
+        verbose: bool = False,
+    ):
+        self.batch_size = batch_size
+        self.with_rna = with_rna
+        self.with_labels = with_labels
+        self.seed = seed
+        self.pad_to = pad_to
+        self.prefetch_depth = prefetch_depth
+        rng = np.random.RandomState(seed)
+        cols = rna_columns(df) if with_rna else []
+
+        self._entries: List[Tuple[str, bytes, int, int]] = []  # (db, key, label, slide)
+        self._rna_rows: List[np.ndarray] = []
+        self._stores: Dict[str, LMDBTileStore] = {}
+        for _, row in df.iterrows():
+            path = slide_db_path(row["patch_data_path"], row["wsi_file_name"])
+            try:
+                store = LMDBTileStore(path)
+                keys = store.keys()
+            except Exception as e:
+                if verbose:
+                    print(f"Error with db {path}: {e}")
+                continue
+            self._stores[path] = store
+            sid = len(self._rna_rows)
+            if with_rna:
+                self._rna_rows.append(np.asarray(row[cols].values, np.float32))
+            else:
+                self._rna_rows.append(np.zeros(0, np.float32))
+            chosen = rng.choice(len(keys), min(len(keys), max_patches_total), replace=False)
+            label = int(row.get("labels", 0))
+            for i in chosen:
+                self._entries.append((path, keys[i], label, sid))
+
+    def __len__(self):
+        return -(-len(self._entries) // self.batch_size)
+
+    def close(self):
+        for s in self._stores.values():
+            s.close()
+        self._stores.clear()
+
+    def _make_batch(self, idx: np.ndarray) -> Dict[str, np.ndarray]:
+        imgs, labels, rna = [], [], []
+        for i in idx:
+            path, key, label, sid = self._entries[i]
+            img = self._stores[path].get_tile(key)
+            if img is None:  # corrupt entry: resample deterministically
+                alt = self._entries[(i + 1) % len(self._entries)]
+                img = self._stores[alt[0]].get_tile(alt[1])
+                label, sid = alt[2], alt[3]
+            imgs.append(img)
+            labels.append(label)
+            if self.with_rna:
+                rna.append(self._rna_rows[sid])
+        batch = {"image": tiles_to_float(np.stack(imgs))}
+        if self.with_rna:
+            batch["rna_data"] = np.stack(rna)
+        if self.with_labels:
+            batch["labels"] = np.asarray(labels, np.int32)
+        return batch
+
+    def epoch(self, epoch: int = 0) -> Iterator[Dict[str, np.ndarray]]:
+        from rnagan_tpu.data.tiles import Prefetcher
+
+        n = len(self._entries)
+        order = np.random.RandomState(self.seed + epoch).permutation(n)
+
+        def gen():
+            for start in range(0, n, self.batch_size):
+                idx = order[start : start + self.batch_size]
+                if len(idx) < self.batch_size:
+                    target = -(-len(idx) // self.pad_to) * self.pad_to
+                    idx = np.concatenate([idx, order[np.arange(target - len(idx)) % n]])
+                yield self._make_batch(idx)
+
+        return Prefetcher(gen(), depth=self.prefetch_depth)
+
+
 @dataclass
 class BagData:
     """Bags of ``bag_size`` tiles per slide + slide-level label/RNA — the

@@ -158,3 +158,34 @@ def test_patient_tiles(tmp_path, rng):
     import pytest as _pytest
     with _pytest.raises(KeyError):
         patient_tiles(df, "missing", 5)
+
+
+def test_streaming_patch_batches(tmp_path, rng):
+    from rnagan_tpu.data.patches import StreamingPatchBatches
+
+    out_dir = str(tmp_path)
+    rows = []
+    for s in ("SA", "SB"):
+        os.makedirs(os.path.join(out_dir, s), exist_ok=True)
+        with LMDBTileWriter(slide_db_path(out_dir, s)) as w:
+            for i in range(7):
+                w.put_tile(f"{s}_p{i}", rng.randint(0, 255, (16, 16, 3), dtype=np.uint8))
+        rows.append({"wsi_file_name": s, "patch_data_path": out_dir, "labels": len(rows),
+                     "rna_a": float(len(rows)), "rna_b": 1.0})
+    df = pd.DataFrame(rows)
+    stream = StreamingPatchBatches(df, batch_size=4, max_patches_total=5,
+                                   with_rna=True, with_labels=True, pad_to=4)
+    batches = list(stream.epoch(0))
+    assert len(batches) == len(stream) == 3  # 10 tiles -> 3 batches (padded)
+    for b in batches:
+        assert b["image"].shape == (4, 16, 16, 3)
+        assert b["image"].min() >= -1.0 and b["image"].max() <= 1.0
+        assert b["rna_data"].shape == (4, 2)
+        # rna row matches the tile's slide label
+        np.testing.assert_allclose(b["rna_data"][:, 0], b["labels"].astype(np.float32))
+    # deterministic per epoch, different across epochs
+    again = list(stream.epoch(0))
+    np.testing.assert_allclose(batches[0]["image"], again[0]["image"])
+    other = list(stream.epoch(1))
+    assert not np.allclose(batches[0]["image"], other[0]["image"])
+    stream.close()

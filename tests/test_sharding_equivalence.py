@@ -61,3 +61,24 @@ def test_train_step_identical_across_mesh_sizes(loss_type, compat):
                                        err_msg=f"metric {k} diverges across mesh sizes at step {step}")
     # parameters after 3 steps match too (gradients were identical)
     np.testing.assert_allclose(p1, p8, atol=5e-4)
+
+
+def test_vae_train_step_identical_across_mesh_sizes(rng):
+    from rnagan_tpu.train.vae_trainer import VAETrainer
+
+    devs = jax.devices()
+    if len(devs) < 2:
+        pytest.skip("needs multiple devices")
+    data = rng.randn(64, 20).astype(np.float32)
+
+    def run(mesh_cfg, devices):
+        cfg = VAEConfig(model=VAE_SMALL, lr=1e-3, batch_size=16, num_epochs=2,
+                        warmup_steps=4, mesh=mesh_cfg, seed=11)
+        trainer = VAETrainer(cfg, mesh=make_mesh(mesh_cfg, devices=devices))
+        state, results = trainer.fit(data[:48], data[48:])
+        return results["history"]
+
+    h1 = run(MeshConfig(data=1, model=1), devs[:1])
+    h8 = run(MeshConfig(data=len(devs), model=1), devs)
+    for e1, e8 in zip(h1["val"], h8["val"]):
+        np.testing.assert_allclose(e1["total_loss"], e8["total_loss"], rtol=1e-3, atol=1e-4)
