@@ -91,12 +91,94 @@ def fold_generator(
     return module, {"params": folded}
 
 
-def make_serving_fn(cfg: GANModelConfig, g_params, g_stats, *, weights_dtype=jnp.float32, uint8_output: bool = True):
+def head_weight_matrix(kernel: np.ndarray) -> np.ndarray:
+    """The 4x4 VALID ConvTranspose head on a 1x1 input is a matmul:
+    out[b, i, j, o] = sum_c z[b, c] * K[3-i, 3-j, c, o]   (lax.conv_transpose
+    convolves with the spatially flipped kernel). Returns the (Cin,
+    4*4*Cout) matrix whose columns are flattened (i, j, o)."""
+    k = np.asarray(kernel, np.float32)[::-1, ::-1]  # flip both spatial axes
+    kh, kw, cin, cout = k.shape
+    return np.ascontiguousarray(k.transpose(2, 0, 1, 3).reshape(cin, kh * kw * cout))
+
+
+def quantized_head_fn(params: dict, cfg: GANModelConfig, leaky_slope: float):
+    """int8-quantized head: z -> (N, 4, 4, C0) features via the Pallas
+    int8 matmul (ops/quant_matmul.py). ``params`` = folded generator params."""
+    from rnagan_tpu.ops.quant_matmul import pallas_int8_matmul, quantize_per_channel
+
+    head = params["ConvTranspose_0"]
+    kernel = np.asarray(head["kernel"])
+    kh, kw, cin, cout = kernel.shape
+    w_mat = head_weight_matrix(kernel)
+    w_q, scales = quantize_per_channel(w_mat)
+    bias = np.tile(np.asarray(head["bias"], np.float32), kh * kw)  # per (i,j,o) column
+    w_q_j, scales_j, bias_j = jnp.asarray(w_q), jnp.asarray(scales), jnp.asarray(bias)
+
+    def fn(z):
+        out = pallas_int8_matmul(z.astype(jnp.float32), w_q_j, scales_j, bias_j)
+        n = out.shape[0]
+        return out.reshape(n, kh, kw, cout)
+
+    return fn
+
+
+def dcgan_lax_apply(cfg: GANModelConfig, params: dict, noise: jax.Array, *,
+                    head_fn=None, final_tanh: bool = True) -> jax.Array:
+    """Folded (batchnorm=False) DCGAN generator as plain lax ops — lets the
+    head be swapped (e.g. the quantized Pallas matmul) without renaming the
+    flax parameter tree. Numerically identical to the flax module."""
+    import jax.lax as lax
+
+    dt = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32
+    r = cfg.out_size.bit_length() - 4
+    dn = ("NHWC", "HWIO", "NHWC")
+    if head_fn is None:
+        head = params["ConvTranspose_0"]
+        x = lax.conv_transpose(noise.astype(dt)[:, None, None, :], head["kernel"].astype(dt),
+                               (1, 1), "VALID", dimension_numbers=dn) + head["bias"].astype(dt)
+    else:
+        x = head_fn(noise).astype(dt)
+    x = jax.nn.leaky_relu(x, cfg.leaky_slope)
+    for i in range(1, r + 1):
+        leaf = params[f"ConvTranspose_{i}"]
+        x = lax.conv_transpose(x, leaf["kernel"].astype(dt), (2, 2), "SAME",
+                               dimension_numbers=dn) + leaf["bias"].astype(dt)
+        x = jax.nn.leaky_relu(x, cfg.leaky_slope)
+    leaf = params[f"ConvTranspose_{r + 1}"]
+    x = lax.conv_transpose(x, leaf["kernel"].astype(dt), (2, 2), "SAME",
+                           dimension_numbers=dn) + leaf["bias"].astype(dt)
+    x = x.astype(jnp.float32)
+    return jnp.tanh(x) if final_tanh else x
+
+
+def make_serving_fn(cfg: GANModelConfig, g_params, g_stats, *, weights_dtype=jnp.float32,
+                    uint8_output: bool = True, quantized_head: bool = False):
     """Build the fastest synthesis function: BN-folded generator with
     ``weights_dtype`` weights, optionally ending in the fused Pallas
     tanh->uint8 epilogue (ops/quantize.py). Returns ``fn(noise) -> images``
     (uint8 NHWC or float32 [-1,1])."""
     module, variables = fold_generator(cfg, g_params, g_stats, dtype=weights_dtype)
+
+    if quantized_head:
+        if cfg.arch not in ("dcgan", "condgan"):
+            raise ValueError("quantized_head supports the ConvTranspose generator")
+        head_fn = quantized_head_fn(variables["params"], cfg, cfg.leaky_slope)
+        params = variables["params"]
+
+        if uint8_output:
+            from rnagan_tpu.ops.quantize import pallas_tanh_to_uint8
+
+            @jax.jit
+            def fn(noise):
+                pre = dcgan_lax_apply(cfg, params, noise, head_fn=head_fn, final_tanh=False)
+                return pallas_tanh_to_uint8(pre, apply_tanh=True)
+
+        else:
+            @jax.jit
+            def fn(noise):
+                return dcgan_lax_apply(cfg, params, noise, head_fn=head_fn, final_tanh=True)
+
+        return fn
 
     if uint8_output:
         from rnagan_tpu.ops.quantize import pallas_tanh_to_uint8
