@@ -42,7 +42,7 @@ def main():
     from rnagan_tpu.models.betavae import BetaVAE, init_betavae
     from rnagan_tpu.models.dcgan import init_gan, make_generator
 
-    from rnagan_tpu.eval.serving import fold_generator
+    from rnagan_tpu.eval.serving import dcgan_lax_apply, fold_generator
 
     vae_cfg = VAEModelConfig(compute_dtype="bfloat16")
     model_cfg = GANModelConfig()  # 256x256, z 2048, step 64, bf16 compute
@@ -52,7 +52,8 @@ def main():
     gv, _ = init_gan(model_cfg, jax.random.fold_in(key, 1))
     # best measured serving path (tools/serve_bench.py): BN folded into conv
     # kernels, f32 weights (explicit bf16 weights regress on this backend)
-    generator, g_vars_folded = fold_generator(model_cfg, gv["params"], gv["batch_stats"])
+    _, g_vars_folded = fold_generator(model_cfg, gv["params"], gv["batch_stats"])
+    g_vars_folded = g_vars_folded["params"]
     gene = jax.random.normal(key, (BATCH, vae_cfg.rna_features), jnp.float32)
 
     @partial(jax.jit, static_argnums=(3,))
@@ -64,7 +65,8 @@ def main():
                 jax.random.fold_in(key, i), (BATCH, model_cfg.encoding_dims), jnp.float32, -0.3, 0.3
             )
             noise = standardize_batch(u + z_mean)
-            img = generator.apply(g_vars, noise, train=False)
+            # lax-level folded generator: measured fastest path (tools/serve_bench)
+            img = dcgan_lax_apply(model_cfg, g_vars, noise)
             return jnp.mean(img).astype(jnp.float32), None
 
         carry, _ = jax.lax.scan(body, jnp.float32(0), jnp.arange(n_iters))

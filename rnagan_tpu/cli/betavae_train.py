@@ -43,7 +43,9 @@ def main(argv=None):
     print("-" * 10)
 
     cfg = vae_config_from_json(config)
-    cfg = type(cfg)(**{**cfg.__dict__, "seed": args.seed})
+    import dataclasses as _dc
+
+    cfg = _dc.replace(cfg, seed=args.seed)
     save_dir = config.get("save_dir", "checkpoints/betavae")
 
     # per-tissue 64/16/20 split + concat + fit-on-train normalization

@@ -371,13 +371,18 @@ class GANTrainer:
         sample_every: int = 1,
         save_every: int = 1,
         auto_resume: bool = False,
+        eval_fn=None,
+        eval_every: int = 0,
     ) -> Tuple[GANTrainState, Dict[str, Any]]:
         """Epoch loop. ``batches_per_epoch_fn(epoch) -> iterable of batch
         dicts`` (numpy NHWC images in [-1,1], plus rna_data/labels as needed).
         Writes sample grids and checkpoints like the reference Trainer.
         ``auto_resume`` restarts from ``model_dir/gan_last.model`` when present
         — preemption recovery the reference only offers manually via
-        ``--checkpoint`` (SURVEY.md 5.3)."""
+        ``--checkpoint`` (SURVEY.md 5.3). ``eval_fn(epoch, state, trainer) ->
+        dict of scalars`` runs every ``eval_every`` epochs (e.g. an in-training
+        FID probe — the reference only evaluates post-hoc) and is merged into
+        the epoch's logged metrics."""
         cfg = self.cfg
         if state is None and auto_resume and self.model_dir:
             last = os.path.join(self.model_dir, "gan_last.model")
@@ -402,6 +407,8 @@ class GANTrainer:
                 count += 1
             means = {k: v / max(count, 1) for k, v in sums.items()}
             means.update(timer.stats())
+            if eval_fn is not None and eval_every and (epoch + 1) % eval_every == 0:
+                means.update(eval_fn(epoch, state, self))
             history.append(means)
             self.logger.scalars("gan", means, epoch)
             self.logger.console(

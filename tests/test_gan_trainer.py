@@ -122,3 +122,21 @@ def test_prefetcher_preserves_order_and_propagates_errors():
     assert next(pf) == 1
     with pytest.raises(RuntimeError):
         list(pf)
+
+
+def test_fit_eval_callback():
+    cfg = GANConfig(model=MODEL32, loss_type="lsgan", batch_size=16, sample_size=4)
+    trainer = GANTrainer(cfg)
+    batches = TileBatches(tiles_to_float(_tiles()), batch_size=16, pad_to=8)
+    seen = []
+
+    def eval_fn(epoch, state, tr):
+        imgs = tr.sample(state, jax.random.key(epoch), 2)
+        seen.append(epoch)
+        return {"probe_mean": float(np.mean(imgs))}
+
+    _, results = trainer.fit(lambda e: batches.epoch(e), num_epochs=2,
+                             eval_fn=eval_fn, eval_every=2)
+    assert seen == [1]
+    assert "probe_mean" in results["history"][1]
+    assert "probe_mean" not in results["history"][0]
