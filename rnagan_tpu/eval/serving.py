@@ -151,6 +151,48 @@ def dcgan_lax_apply(cfg: GANModelConfig, params: dict, noise: jax.Array, *,
     return jnp.tanh(x) if final_tanh else x
 
 
+_BILINEAR_TAPS = np.array([0.25, 0.75, 0.75, 0.25], np.float64)  # 2x, align_corners=False
+
+
+def resize_conv_to_transposed(kernel3: np.ndarray) -> np.ndarray:
+    """Fuse (2x bilinear upsample -> 3x3 conv) into ONE stride-2 transposed
+    convolution, in weight space.
+
+    Math: bilinear 2x upsampling is itself a stride-2 transposed conv with the
+    separable tent kernel t = [.25, .75, .75, .25]; convolving afterwards with
+    K3 composes to a single transposed conv whose kernel is the full 2-D
+    correlation of K3 with the tent — size 6x6. The interior of the output is
+    bit-identical to the two-op pipeline; only a 2-pixel border differs
+    (upsample edge-clamp + reflection pad vs. the transposed conv's implicit
+    zeros), which the caller can reproduce or ignore (generator borders are
+    cosmetically negligible at 256px). Removes one full-resolution HBM
+    round-trip per up-block of the resize-conv generator.
+
+    kernel3: (3, 3, Cin, Cout) -> (6, 6, Cin, Cout).
+    """
+    k3 = np.asarray(kernel3, np.float64)
+    tent = np.outer(_BILINEAR_TAPS, _BILINEAR_TAPS)  # (4, 4)
+    kh, kw, cin, cout = k3.shape
+    out = np.zeros((kh + 3, kw + 3, cin, cout), np.float64)
+    # full 2-D correlation of the tent with K3 per channel pair
+    for dy in range(kh):
+        for dx in range(kw):
+            out[dy : dy + 4, dx : dx + 4] += tent[:, :, None, None] * k3[dy, dx]
+    return out.astype(np.float32)
+
+
+def fused_up_block(x: jax.Array, kernel6: jax.Array, bias: jax.Array) -> jax.Array:
+    """Apply one fused resize-conv up-block: (N, H, W, Cin) -> (N, 2H, 2W, Cout).
+
+    Alignment (verified empirically against the two-op pipeline): unflipped
+    fused kernel, symmetric padding (3, 3) lands on the same 2H x 2W grid.
+    """
+    return jax.lax.conv_transpose(
+        x, kernel6, (2, 2), ((3, 3), (3, 3)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    ) + bias
+
+
 def make_serving_fn(cfg: GANModelConfig, g_params, g_stats, *, weights_dtype=jnp.float32,
                     uint8_output: bool = True, quantized_head: bool = False):
     """Build the fastest synthesis function: BN-folded generator with

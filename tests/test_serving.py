@@ -68,3 +68,27 @@ def test_serving_fn_uint8(rng):
     fn_f = make_serving_fn(CFG, params, stats, weights_dtype=jnp.float32, uint8_output=False)
     ref = np.clip(np.round((np.asarray(fn_f(z)) * 0.5 + 0.5) * 255), 0, 255).astype(np.uint8)
     assert np.abs(got.astype(int) - ref.astype(int)).max() <= 1
+
+
+def test_resize_conv_fusion_interior_exact(rng):
+    """(2x bilinear upsample -> reflect pad -> 3x3 conv) == one stride-2
+    transposed conv with the tent-composed kernel, everywhere except the
+    2-pixel border (documented semantics difference)."""
+    from jax import lax
+
+    from rnagan_tpu.eval.serving import fused_up_block, resize_conv_to_transposed
+    from rnagan_tpu.models.dcgan import reflect_pad_hw, upsample2x_bilinear
+
+    x = jnp.asarray(rng.randn(2, 8, 8, 3).astype(np.float32))
+    k3 = jnp.asarray(rng.randn(3, 3, 3, 4).astype(np.float32))
+    bias = jnp.asarray(rng.randn(4).astype(np.float32))
+    ref = lax.conv_general_dilated(
+        reflect_pad_hw(upsample2x_bilinear(x), 1), k3, (1, 1), "VALID",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    ) + bias
+    k6 = jnp.asarray(resize_conv_to_transposed(np.asarray(k3)))
+    got = fused_up_block(x, k6, bias)
+    assert got.shape == ref.shape == (2, 16, 16, 4)
+    np.testing.assert_allclose(
+        np.asarray(got)[:, 2:-2, 2:-2], np.asarray(ref)[:, 2:-2, 2:-2], atol=1e-4
+    )
