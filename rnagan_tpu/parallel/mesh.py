@@ -64,6 +64,32 @@ def pad_to_multiple(n: int, m: int) -> int:
     return int(math.ceil(n / m) * m) if m > 1 else n
 
 
+def shard_dense_params(params: Any, mesh: Mesh) -> Any:
+    """Tensor-parallel placement for MLP models: every Dense ``kernel`` whose
+    output dim divides the model-axis size is sharded column-wise over the
+    model axis (with its bias sharded to match); everything else replicated.
+
+    Under jit this is pure data placement — XLA partitions the matmuls and
+    inserts the collectives (column-parallel layers need none on the forward;
+    the activations come out sharded and the next layer consumes them). The
+    reference's largest layer (19198x6000) fits one chip, so this is an
+    opt-in scaling axis rather than a necessity (SURVEY.md 2.4)."""
+    model_axis = mesh.axis_names[1]
+    model_size = mesh.shape[model_axis]
+
+    def spec_for(path, x):
+        name = path[-1].key if hasattr(path[-1], "key") else str(path[-1])
+        if model_size > 1 and hasattr(x, "ndim"):
+            if name == "kernel" and x.ndim == 2 and x.shape[-1] % model_size == 0:
+                return NamedSharding(mesh, P(None, model_axis))
+            if name in ("bias", "scale", "mean", "var") and x.ndim == 1 and x.shape[0] % model_size == 0:
+                return NamedSharding(mesh, P(model_axis))
+        return NamedSharding(mesh, P())
+
+    shardings = jax.tree_util.tree_map_with_path(spec_for, params)
+    return jax.tree_util.tree_map(jax.device_put, params, shardings)
+
+
 def shard_batch(batch: Any, mesh: Mesh) -> Any:
     """Device-put a host batch (pytree of arrays, leading dim = global batch)
     with the batch dim sharded over the data axis.

@@ -30,7 +30,8 @@ from flax import struct
 from rnagan_tpu.core.config import MeshConfig
 from rnagan_tpu.core.metrics import MetricsLogger
 from rnagan_tpu.core.rng import KeyStream, step_key
-from rnagan_tpu.models.resnet import ResNet, init_resnet, resnet50
+from rnagan_tpu.models import resnet as resnet_zoo
+from rnagan_tpu.models.resnet import ResNet, init_resnet
 from rnagan_tpu.parallel.mesh import make_mesh, replicated, shard_batch
 
 IMAGENET_MEAN = np.array([0.485, 0.456, 0.406], np.float32)
@@ -97,7 +98,8 @@ class TileClassifierTrainer:
     def __init__(self, cfg: MLConfig, *, model: Optional[ResNet] = None, mesh=None,
                  logger: Optional[MetricsLogger] = None, backbone_variables=None):
         self.cfg = cfg
-        self.model = model or resnet50(num_classes=cfg.num_classes)
+        # honor cfg.arch (resnet18|34|50|101|152) when no explicit model given
+        self.model = model or getattr(resnet_zoo, cfg.arch)(num_classes=cfg.num_classes)
         self.mesh = mesh if mesh is not None else make_mesh(cfg.mesh)
         self.logger = logger or MetricsLogger()
         self.tx = optax.adamw(cfg.lr, weight_decay=cfg.weight_decay)
@@ -247,6 +249,7 @@ def run_cv_experiment(
     test_images01: Optional[np.ndarray] = None,
     test_labels: Optional[np.ndarray] = None,
     backbone_variables=None,
+    model: Optional[ResNet] = None,
 ) -> Dict[str, Any]:
     """The 5-fold CV protocol (reference ``ml_experiments.py:282-362``):
     per-fold train/val, best-val model evaluated on val (and on a held-out
@@ -254,7 +257,7 @@ def run_cv_experiment(
     cfg = cfg or MLConfig()
     results = {"folds": []}
     for f, (tr_idx, va_idx) in enumerate(stratified_folds(labels, cfg.folds, cfg.seed)):
-        trainer = TileClassifierTrainer(cfg, backbone_variables=backbone_variables)
+        trainer = TileClassifierTrainer(cfg, model=model, backbone_variables=backbone_variables)
         state, fit_res = trainer.fit(images01[tr_idx], labels[tr_idx], images01[va_idx], labels[va_idx])
         fold = {"fold": f, **trainer.evaluate(images01[va_idx], labels[va_idx], state)}
         if test_images01 is not None:

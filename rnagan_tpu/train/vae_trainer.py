@@ -96,10 +96,23 @@ class VAETrainer:
     def init_state(self) -> VAETrainState:
         variables = init_betavae(self.cfg.model, self.keys.fold("init"))
         params = variables["params"]
+        stats = variables["batch_stats"]
+        model_axis = self.mesh.axis_names[1]
+        if self.mesh.shape[model_axis] > 1:
+            # 2-D mesh: column-shard the Dense kernels over the model axis
+            # (tensor parallelism); optimizer moments inherit the layout via
+            # jit sharding propagation
+            from rnagan_tpu.parallel.mesh import shard_dense_params
+
+            params = shard_dense_params(params, self.mesh)
+            stats = shard_dense_params(stats, self.mesh)
+            opt_state = jax.jit(self.tx.init)(params)
+            step = jax.device_put(jnp.asarray(0, jnp.int32), replicated(self.mesh))
+            return VAETrainState(step=step, params=params, batch_stats=stats, opt_state=opt_state)
         state = VAETrainState(
             step=jnp.asarray(0, jnp.int32),
             params=params,
-            batch_stats=variables["batch_stats"],
+            batch_stats=stats,
             opt_state=self.tx.init(params),
         )
         # replicate once; batches get sharded per step

@@ -82,3 +82,31 @@ def test_vae_train_step_identical_across_mesh_sizes(rng):
     h8 = run(MeshConfig(data=len(devs), model=1), devs)
     for e1, e8 in zip(h1["val"], h8["val"]):
         np.testing.assert_allclose(e1["total_loss"], e8["total_loss"], rtol=1e-3, atol=1e-4)
+
+
+def test_vae_2d_mesh_tensor_parallel(rng):
+    """(data=4, model=2) mesh: Dense kernels column-sharded over the model
+    axis, training runs, and results match the 1-device run."""
+    from rnagan_tpu.train.vae_trainer import VAETrainer
+
+    devs = jax.devices()
+    if len(devs) < 8:
+        pytest.skip("needs 8 devices")
+    data = rng.randn(64, 20).astype(np.float32)
+    cfg1 = VAEConfig(model=VAE_SMALL, lr=1e-3, batch_size=16, num_epochs=1,
+                     warmup_steps=4, mesh=MeshConfig(data=1, model=1), seed=11)
+    t1 = VAETrainer(cfg1, mesh=make_mesh(cfg1.mesh, devices=devs[:1]))
+    _, r1 = t1.fit(data[:48], data[48:])
+
+    cfg2 = VAEConfig(model=VAE_SMALL, lr=1e-3, batch_size=16, num_epochs=1,
+                     warmup_steps=4, mesh=MeshConfig(data=4, model=2), seed=11)
+    t2 = VAETrainer(cfg2, mesh=make_mesh(cfg2.mesh, devices=devs))
+    state2 = t2.init_state()
+    # the 16-wide encoder kernels actually got column-sharded over 'model'
+    sh = state2.params["encoder"]["dense_0"]["kernel"].sharding
+    assert "model" in str(sh.spec)
+    state2, r2 = t2.fit(data[:48], data[48:], state=state2)
+    np.testing.assert_allclose(
+        r1["history"]["val"][0]["total_loss"], r2["history"]["val"][0]["total_loss"],
+        rtol=1e-3, atol=1e-4,
+    )

@@ -35,6 +35,19 @@ def main():
     t0 = time.perf_counter(); f32 = np.asarray(jnp.tanh(x)); _ = ((f32 * .5 + .5) * 255).astype(np.uint8); t_f32 = time.perf_counter() - t0
     print(f"device->host per 64 tiles: uint8 {t_u8*1e3:.1f} ms vs f32+host-convert {t_f32*1e3:.1f} ms")
 
+    # int8 quantized matmul kernel (generator head)
+    from rnagan_tpu.ops.quant_matmul import pallas_int8_matmul, quantize_per_channel, xla_int8_matmul
+
+    rngk = jax.random.key(2)
+    xq = jax.random.normal(rngk, (64, 2048))
+    w = np.asarray(jax.random.normal(jax.random.fold_in(rngk, 1), (2048, 4096))) * 0.02
+    q, s = quantize_per_channel(w)
+    bias = np.zeros(4096, np.float32)
+    got = np.asarray(pallas_int8_matmul(xq, jnp.asarray(q), jnp.asarray(s), jnp.asarray(bias)))
+    ref = np.asarray(xla_int8_matmul(xq, jnp.asarray(q), jnp.asarray(s), jnp.asarray(bias)))
+    assert np.abs(got - ref).max() / (np.abs(ref).max() + 1e-9) < 0.02
+    print("int8 matmul kernel: ok")
+
 
 if __name__ == "__main__":
     main()
