@@ -616,10 +616,18 @@ void write_meta(uint8_t* page, uint64_t pgno, uint64_t main_root, uint64_t entri
 
 int64_t writer_close(Writer* w) {
   auto& items = w->items;
-  std::sort(items.begin(), items.end(), [](const auto& a, const auto& b) {
+  std::stable_sort(items.begin(), items.end(), [](const auto& a, const auto& b) {
     return key_cmp((const uint8_t*)a.first.data(), (int64_t)a.first.size(),
                    (const uint8_t*)b.first.data(), (int64_t)b.first.size()) < 0;
   });
+  // duplicate keys: keep the LAST put (LMDB put-overwrite semantics)
+  std::vector<std::pair<std::string, std::string>> dedup;
+  dedup.reserve(items.size());
+  for (size_t i = 0; i < items.size(); ++i) {
+    if (i + 1 < items.size() && items[i + 1].first == items[i].first) continue;
+    dedup.push_back(std::move(items[i]));
+  }
+  items = std::move(dedup);
 
   BuiltPages bp;
   constexpr int64_t kInlineMax = 1024;  // larger values go to overflow pages

@@ -35,6 +35,11 @@ def build_parser():
                    help="reproduce the reference's two-step GP dynamics exactly")
     p.add_argument("--auto_resume", action="store_true",
                    help="resume from model_dir/gan_last.model when present")
+    p.add_argument("--fid_every", type=int, default=0,
+                   help="compute an in-training FID probe every N epochs (the reference "
+                        "only evaluates post-hoc); logged into the epoch metrics")
+    p.add_argument("--fid_images", type=int, default=128)
+    p.add_argument("--inception_weights", type=str, default=None)
     p.add_argument("--platform", type=str, default=None)
     return p
 
@@ -102,10 +107,34 @@ def main(argv=None):
         trainer.set_z_population(data.rna)  # bundled for conditioning-preserving generation
     state = trainer.load_model(args.checkpoint) if args.checkpoint else None
 
+    eval_fn = None
+    if args.fid_every:
+        import jax
+
+        from rnagan_tpu.eval.fid import InceptionExtractor, calculate_fid
+        from rnagan_tpu.eval.generate import generate_images
+
+        variables = None
+        if args.inception_weights:
+            import torch
+
+            from rnagan_tpu.models.inception import params_from_torch_state_dict as inception_port
+
+            sd = torch.load(args.inception_weights, map_location="cpu", weights_only=True)
+            variables = inception_port({k: v.numpy() for k, v in sd.items()})
+        extractor = InceptionExtractor(variables)
+        real01 = data.images[: args.fid_images].astype("float32") / 255.0
+
+        def eval_fn(epoch, st, tr):
+            fake = generate_images(tr, st, args.fid_images, jax.random.key(epoch))
+            return {"fid": calculate_fid(real01, fake, batch_size=32, extractor=extractor)}
+
     n_dev = trainer.mesh.devices.size
     batches = PatchBatches(data, batch_size=cfg.batch_size, with_rna=with_rna,
                            with_labels=args.gan_type == "condgan", seed=args.seed, pad_to=n_dev)
-    state, results = trainer.fit(lambda e: batches.epoch(e), state=state, auto_resume=args.auto_resume)
+    state, results = trainer.fit(lambda e: batches.epoch(e), state=state,
+                                 auto_resume=args.auto_resume,
+                                 eval_fn=eval_fn, eval_every=args.fid_every)
     print("Final epoch:", results["history"][-1] if results["history"] else {})
     return results
 

@@ -123,3 +123,16 @@ def test_lmdb_file_is_page_structured(tmp_path):
         assert int.from_bytes(meta[4:8], "little") == 1
     # page 1 holds the committed txn
     assert int.from_bytes(raw[4096 + 16 + 128 :][:8], "little") == 1
+
+
+def test_lmdb_duplicate_key_last_wins(tmp_path):
+    path = str(tmp_path / "dup.db")
+    w = LMDBTileWriter(path)
+    w.put_raw(b"k", b"first")
+    w.put_raw(b"other", b"x")
+    w.put_raw(b"k", b"second")
+    w._count = 0
+    w.close()
+    with LMDBTileStore(path) as store:
+        assert store.get_raw(b"k") == b"second"
+        assert store.get_raw(b"other") == b"x"
