@@ -40,7 +40,7 @@ def main():
     from rnagan_tpu.core.config import GANModelConfig, VAEModelConfig
     from rnagan_tpu.losses.rna_infusion import encode_z_mean, standardize_batch
     from rnagan_tpu.models.betavae import BetaVAE, init_betavae
-    from rnagan_tpu.models.dcgan import init_gan, make_generator
+    from rnagan_tpu.models.dcgan import init_gan
 
     from rnagan_tpu.eval.serving import dcgan_lax_apply, fold_generator
 
