@@ -44,3 +44,20 @@ def load_gan_dataframe(config: Dict[str, Any]):
         df["labels"] = [tissue_id] * len(df)
         frames.append(df)
     return pd.concat(frames, ignore_index=True)
+
+
+def load_inception_extractor(weights_path=None):
+    """InceptionExtractor, optionally from a torchvision ``inception_v3``
+    state_dict (.pt) for published-FID parity (shared by the fid / gan-train /
+    representation CLIs)."""
+    from rnagan_tpu.eval.fid import InceptionExtractor
+
+    variables = None
+    if weights_path:
+        import torch
+
+        from rnagan_tpu.models.inception import params_from_torch_state_dict
+
+        sd = torch.load(weights_path, map_location="cpu", weights_only=True)
+        variables = params_from_torch_state_dict({k: v.numpy() for k, v in sd.items()})
+    return InceptionExtractor(variables)

@@ -29,6 +29,8 @@ def build_parser():
                    help="torchvision inception_v3 state_dict (.pt) for metric parity; "
                         "without it features come from a fixed random init (pipeline-"
                         "valid, NOT comparable to published FID numbers)")
+    p.add_argument("--gan_type", type=str, default=None,
+                   help="architecture of the checkpoint(s); defaults to the config key or dcgan")
     p.add_argument("--seed", type=int, default=99)
     p.add_argument("--platform", type=str, default=None)
     return p
@@ -68,15 +70,9 @@ def main(argv=None):
         real01 = data.images[: args.num_images].astype(np.float32) / 255.0
     print(f"real set: {len(real01)} tiles")
 
-    variables = None
-    if args.inception_weights:
-        import torch
+    from rnagan_tpu.cli.common import load_inception_extractor
 
-        from rnagan_tpu.models.inception import params_from_torch_state_dict
-
-        sd = torch.load(args.inception_weights, map_location="cpu", weights_only=True)
-        variables = params_from_torch_state_dict({k: v.numpy() for k, v in sd.items()})
-    extractor = InceptionExtractor(variables)
+    extractor = load_inception_extractor(args.inception_weights)
 
     def gen(rep):
         key = jax.random.fold_in(jax.random.key(args.seed), rep)

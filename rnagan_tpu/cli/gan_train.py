@@ -111,19 +111,17 @@ def main(argv=None):
     if args.fid_every:
         import jax
 
-        from rnagan_tpu.eval.fid import InceptionExtractor, calculate_fid
+        from rnagan_tpu.cli.common import load_inception_extractor
+        from rnagan_tpu.eval.fid import calculate_fid
         from rnagan_tpu.eval.generate import generate_images
 
-        variables = None
-        if args.inception_weights:
-            import torch
+        extractor = load_inception_extractor(args.inception_weights)
+        import numpy as np
 
-            from rnagan_tpu.models.inception import params_from_torch_state_dict as inception_port
-
-            sd = torch.load(args.inception_weights, map_location="cpu", weights_only=True)
-            variables = inception_port({k: v.numpy() for k, v in sd.items()})
-        extractor = InceptionExtractor(variables)
-        real01 = data.images[: args.fid_images].astype("float32") / 255.0
+        pick = np.random.RandomState(args.seed).choice(
+            len(data.images), min(args.fid_images, len(data.images)), replace=False
+        )  # images are concatenated per-slide; a head slice would be one slide
+        real01 = data.images[pick].astype("float32") / 255.0
 
         def eval_fn(epoch, st, tr):
             fake = generate_images(tr, st, args.fid_images, jax.random.key(epoch))

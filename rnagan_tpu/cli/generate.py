@@ -28,6 +28,9 @@ def build_parser():
     p.add_argument("--rna_file", type=str, default=None, help="CSV with rna_ columns (e.g. GEO data)")
     p.add_argument("--random_patient", action="store_true", help="sample one row from --rna_file")
     p.add_argument("--patient", type=str, default=None, help="wsi_file_name to condition on")
+    p.add_argument("--gan_type", type=str, default=None,
+                   help="architecture of the checkpoint (dcgan | dcgan_up | condgan); "
+                        "defaults to the config's gan_type key or dcgan")
     p.add_argument("--sample_size", type=int, default=64)
     p.add_argument("--save_path", type=str, default="generated.png")
     p.add_argument("--save_dir", type=str, default="generated")
@@ -43,10 +46,14 @@ def _load_trainer(cfg_json, ckpt, vae_path, args):
     from rnagan_tpu.core.config import GANConfig, GANModelConfig, VAEModelConfig
     from rnagan_tpu.train.gan_trainer import GANTrainer
 
+    arch = getattr(args, "gan_type", None) or cfg_json.get("gan_type", "dcgan")
+    num_classes = len(cfg_json.get("path_csv", ())) if arch == "condgan" else 0
     model_cfg = GANModelConfig(
+        arch=arch,
         out_size=int(cfg_json.get("img_size", 256)),
         encoding_dims=int(cfg_json.get("encoding_dims", 2048)),
-        step_channels=int(cfg_json.get("step_channels", 64)),
+        step_channels=int(cfg_json.get("step_channels", 32 if arch == "condgan" else 64)),
+        num_classes=num_classes,
         compute_dtype=str(cfg_json.get("compute_dtype", "bfloat16")),
     )
     cfg = GANConfig(

@@ -28,6 +28,8 @@ def build_parser():
     p.add_argument("--num_patches", type=int, default=64)
     p.add_argument("--inception_weights", type=str, default=None)
     p.add_argument("--save_dir", type=str, default="representations")
+    p.add_argument("--gan_type", type=str, default=None,
+                   help="architecture of the checkpoint(s); defaults to the config key or dcgan")
     p.add_argument("--seed", type=int, default=99)
     p.add_argument("--platform", type=str, default=None)
     return p
@@ -64,19 +66,12 @@ def main(argv=None):
     def gene(patient):
         return data.rna[data.slides.index(patient)][None, :]
 
-    variables = None
-    if args.inception_weights:
-        import torch
-
-        from rnagan_tpu.models.inception import params_from_torch_state_dict
-
-        sd = torch.load(args.inception_weights, map_location="cpu", weights_only=True)
-        variables = params_from_torch_state_dict({k: v.numpy() for k, v in sd.items()})
+    from rnagan_tpu.cli.common import load_inception_extractor
 
     reps = compute_representations(
         patients, real_tiles, gene, rna_trainer, rna_state, gan_trainer, gan_state,
         key=jax.random.key(args.seed), tiles_per_patient=args.tiles_per_patient,
-        extractor=InceptionExtractor(variables), save_dir=args.save_dir,
+        extractor=load_inception_extractor(args.inception_weights), save_dir=args.save_dir,
     )
     print(f"wrote {args.save_dir}/representations_{{real,rnagan,gan}}.npy "
           f"({len(patients)} patients x 2048)")

@@ -101,17 +101,28 @@ class AsyncSaver:
 
         self._lock = threading.Lock()
         self._thread = None
+        self._error: Optional[BaseException] = None
 
     def save_bundle(self, path: str, trees: Dict[str, Any], metadata: Optional[Dict[str, Any]] = None) -> None:
         import threading
 
+        import jax.numpy as jnp
+
         self.wait()
-        # snapshot on the caller thread (cheap: device buffers are immutable,
-        # fetching happens on the worker)
+        # Snapshot device arrays on the caller thread BEFORE the next train
+        # step can donate (and thereby delete) their buffers. jnp.copy is an
+        # async device-side dispatch, so this doesn't block on the device;
+        # the worker then fetches the copies at leisure.
+        snapshot = jax.tree_util.tree_map(
+            lambda x: jnp.copy(x) if isinstance(x, jax.Array) else x, trees
+        )
 
         def work():
-            with self._lock:
-                save_bundle(path, trees, metadata)
+            try:
+                with self._lock:
+                    save_bundle(path, snapshot, metadata)
+            except BaseException as e:  # re-raised on the caller side
+                self._error = e
 
         self._thread = threading.Thread(target=work, daemon=True)
         self._thread.start()
@@ -120,6 +131,9 @@ class AsyncSaver:
         if self._thread is not None:
             self._thread.join()
             self._thread = None
+        if self._error is not None:
+            err, self._error = self._error, None
+            raise err
 
 
 class BestKeeper:

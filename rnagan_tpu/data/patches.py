@@ -164,15 +164,12 @@ class PatchBatches:
         return -(-len(self.data) // self.batch_size)
 
     def epoch(self, epoch: int = 0) -> Iterator[Dict[str, np.ndarray]]:
-        n = len(self.data)
-        order = np.arange(n)
-        if self.shuffle:
-            np.random.RandomState(self.seed + epoch).shuffle(order)
-        for start in range(0, n, self.batch_size):
-            idx = order[start : start + self.batch_size]
-            if len(idx) < self.batch_size:
-                target = -(-len(idx) // self.pad_to) * self.pad_to
-                idx = np.concatenate([idx, order[np.arange(target - len(idx)) % n]])
+        from rnagan_tpu.data.batching import batch_indices
+
+        for idx, _ in batch_indices(
+            len(self.data), self.batch_size, shuffle=self.shuffle, seed=self.seed,
+            epoch=epoch, pad_to=self.pad_to,
+        ):
             batch = {"image": tiles_to_float(self.data.images[idx])}
             if self.with_rna:
                 batch["rna_data"] = self.data.rna_for_tiles(idx)
@@ -245,12 +242,16 @@ class StreamingPatchBatches:
     def _make_batch(self, idx: np.ndarray) -> Dict[str, np.ndarray]:
         imgs, labels, rna = [], [], []
         for i in idx:
-            path, key, label, sid = self._entries[i]
-            img = self._stores[path].get_tile(key)
-            if img is None:  # corrupt entry: resample deterministically
-                alt = self._entries[(i + 1) % len(self._entries)]
-                img = self._stores[alt[0]].get_tile(alt[1])
-                label, sid = alt[2], alt[3]
+            img = None
+            # corrupt entries: scan forward deterministically until one
+            # decodes (bounded; mirrors the reference's collate-filter intent)
+            for offset in range(len(self._entries)):
+                path, key, label, sid = self._entries[(i + offset) % len(self._entries)]
+                img = self._stores[path].get_tile(key)
+                if img is not None:
+                    break
+            if img is None:
+                raise RuntimeError("every tile in the streaming index is undecodable")
             imgs.append(img)
             labels.append(label)
             if self.with_rna:
@@ -263,17 +264,14 @@ class StreamingPatchBatches:
         return batch
 
     def epoch(self, epoch: int = 0) -> Iterator[Dict[str, np.ndarray]]:
+        from rnagan_tpu.data.batching import batch_indices
         from rnagan_tpu.data.tiles import Prefetcher
 
-        n = len(self._entries)
-        order = np.random.RandomState(self.seed + epoch).permutation(n)
-
         def gen():
-            for start in range(0, n, self.batch_size):
-                idx = order[start : start + self.batch_size]
-                if len(idx) < self.batch_size:
-                    target = -(-len(idx) // self.pad_to) * self.pad_to
-                    idx = np.concatenate([idx, order[np.arange(target - len(idx)) % n]])
+            for idx, _ in batch_indices(
+                len(self._entries), self.batch_size, shuffle=True, seed=self.seed,
+                epoch=epoch, pad_to=self.pad_to,
+            ):
                 yield self._make_batch(idx)
 
         return Prefetcher(gen(), depth=self.prefetch_depth)

@@ -165,24 +165,11 @@ def batch_iterator(
     drop_remainder: bool = False,
     pad_to: int = 1,
 ) -> Iterator[Tuple[np.ndarray, np.ndarray]]:
-    """Yield ``(batch, valid_mask)``. The final short batch is padded to a
-    multiple of ``pad_to`` (the mesh data-axis size) so jitted shapes stay
-    static. Padding rows are *wrapped* real rows (not zeros) so BatchNorm batch
-    statistics stay sane; ``valid_mask`` marks non-duplicate rows so losses and
-    metrics exclude them exactly."""
-    n = len(data)
-    order = np.arange(n)
-    if shuffle:
-        np.random.RandomState(seed + epoch).shuffle(order)
-    for start in range(0, n, batch_size):
-        idx = order[start : start + batch_size]
-        if len(idx) < batch_size and drop_remainder:
-            return
-        mask = np.ones(len(idx), np.float32)
-        target = batch_size if len(idx) == batch_size else -(-len(idx) // pad_to) * pad_to
-        if len(idx) < target:
-            pad = target - len(idx)
-            fill = order[np.arange(pad) % n]
-            idx = np.concatenate([idx, fill])
-            mask = np.concatenate([mask, np.zeros(pad, np.float32)])
+    """Yield ``(batch, valid_mask)`` (shared semantics: data/batching.py)."""
+    from rnagan_tpu.data.batching import batch_indices
+
+    for idx, mask in batch_indices(
+        len(data), batch_size, shuffle=shuffle, seed=seed, epoch=epoch,
+        pad_to=pad_to, drop_remainder=drop_remainder,
+    ):
         yield data[idx], mask

@@ -217,7 +217,7 @@ def extract_patches(
     resize_factor = float(reader.properties.get("aperio.AppMag", 20)) / 20.0 * dezoom_factor
     psr = (int(resize_factor * patch_size[0]), int(resize_factor * patch_size[1]))
 
-    indices = [(x, y) for x in range(0, xmax, psr[0]) for y in range(0, ymax, psr[0])]
+    indices = [(x, y) for x in range(0, xmax, psr[0]) for y in range(0, ymax, psr[1])]
     np.random.seed(seed)  # reference seeds the grid shuffle with 5 (:88)
     np.random.shuffle(indices)
 

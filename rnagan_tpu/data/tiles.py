@@ -65,17 +65,12 @@ class TileBatches:
         return -(-n // self.batch_size)
 
     def epoch(self, epoch: int = 0) -> Iterator[Dict[str, np.ndarray]]:
-        n = len(self.images)
-        order = np.arange(n)
-        if self.shuffle:
-            np.random.RandomState(self.seed + epoch).shuffle(order)
-        for start in range(0, n, self.batch_size):
-            idx = order[start : start + self.batch_size]
-            if len(idx) < self.batch_size:
-                if self.drop_remainder:
-                    return
-                target = -(-len(idx) // self.pad_to) * self.pad_to
-                idx = np.concatenate([idx, order[np.arange(target - len(idx)) % n]])
+        from rnagan_tpu.data.batching import batch_indices
+
+        for idx, _ in batch_indices(
+            len(self.images), self.batch_size, shuffle=self.shuffle, seed=self.seed,
+            epoch=epoch, pad_to=self.pad_to, drop_remainder=self.drop_remainder,
+        ):
             batch = {"image": tiles_to_float(self.images[idx])}
             if self.rna is not None:
                 batch["rna_data"] = np.asarray(self.rna[idx], np.float32)

@@ -27,6 +27,18 @@ def unnormalize(images: np.ndarray) -> np.ndarray:
     return np.clip(np.asarray(images, np.float32) * 0.5 + 0.5, 0.0, 1.0)
 
 
+def to_unit_range(images: np.ndarray) -> np.ndarray:
+    """Coerce tiles to [0,1] floats by DTYPE, not value heuristics: uint8 ->
+    /255; float with negatives -> un-normalize from [-1,1]; else already
+    [0,1]. (A min()>=0 uint8 array previously slipped through as 0..255
+    floats, saturating grids and inception inputs.)"""
+    arr = np.asarray(images)
+    if arr.dtype == np.uint8:
+        return arr.astype(np.float32) / 255.0
+    arr = arr.astype(np.float32)
+    return unnormalize(arr) if arr.min() < 0 else arr
+
+
 def generate_images(trainer, state, num_images: int, key, gene: Optional[np.ndarray] = None) -> np.ndarray:
     """Generate tiles in [0,1] NHWC. With ``gene`` (one patient's normalized
     expression row), uses the RNA-infused prior (reference ``gan_utils.py:211-224``)."""
@@ -57,7 +69,7 @@ def compare_real_vs_synthetic(
     k1, k2 = jax.random.split(key)
     rna_imgs = generate_images(rna_trainer, rna_state, sample_size, k1, gene=gene)
     gan_imgs = generate_images(gan_trainer, gan_state, sample_size, k2)
-    real = unnormalize(real_tiles) if real_tiles.min() < 0 else np.asarray(real_tiles, np.float32)
+    real = to_unit_range(real_tiles)
     save_image_grid(real * 2 - 1, os.path.join(save_dir, f"{prefix}_real.png"), nrow=8)
     save_image_grid(rna_imgs * 2 - 1, os.path.join(save_dir, f"{prefix}_rnagan.png"), nrow=8)
     save_image_grid(gan_imgs * 2 - 1, os.path.join(save_dir, f"{prefix}_gan.png"), nrow=8)

@@ -14,7 +14,7 @@ import jax
 import numpy as np
 
 from rnagan_tpu.eval.fid import InceptionExtractor
-from rnagan_tpu.eval.generate import generate_images
+from rnagan_tpu.eval.generate import generate_images, to_unit_range
 
 
 def mean_activation(images01: np.ndarray, extractor: InceptionExtractor, batch_size: int = 64) -> np.ndarray:
@@ -43,7 +43,7 @@ def compute_representations(
         k = jax.random.fold_in(key, i)
         k1, k2 = jax.random.split(k)
         real = real_tiles_fn(patient)
-        real01 = real * 0.5 + 0.5 if real.min() < 0 else real
+        real01 = to_unit_range(real)
         gene = gene_fn(patient)
         rna_imgs = generate_images(rna_trainer, rna_state, tiles_per_patient, k1, gene=gene)
         gan_imgs = generate_images(gan_trainer, gan_state, tiles_per_patient, k2)

@@ -201,8 +201,32 @@ def make_serving_fn(cfg: GANModelConfig, g_params, g_stats, *, weights_dtype=jnp
     (uint8 NHWC or float32 [-1,1])."""
     module, variables = fold_generator(cfg, g_params, g_stats, dtype=weights_dtype)
 
+    if cfg.arch == "condgan":
+        # the conditional generator needs labels at call time; serve it via
+        # the flax module directly (one-hot concat changes the head shape,
+        # so the quantized/lax fast paths don't apply)
+        if quantized_head:
+            raise ValueError("quantized_head does not support condgan (one-hot widens the head)")
+
+        if uint8_output:
+            from rnagan_tpu.ops.quantize import pallas_tanh_to_uint8
+
+            pre_module = dataclasses.replace(module, final_tanh=False)
+
+            @jax.jit
+            def fn(noise, labels):
+                pre = pre_module.apply(variables, noise, labels=labels, train=False)
+                return pallas_tanh_to_uint8(pre, apply_tanh=True)
+
+        else:
+            @jax.jit
+            def fn(noise, labels):
+                return module.apply(variables, noise, labels=labels, train=False)
+
+        return fn
+
     if quantized_head:
-        if cfg.arch not in ("dcgan", "condgan"):
+        if cfg.arch != "dcgan":
             raise ValueError("quantized_head supports the ConvTranspose generator")
         head_fn = quantized_head_fn(variables["params"], cfg, cfg.leaky_slope)
         params = variables["params"]

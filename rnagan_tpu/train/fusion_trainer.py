@@ -85,13 +85,7 @@ class FusionTrainer:
         self._train_step = jax.jit(self._train_step_impl, donate_argnums=(0,))
         self._eval_step = jax.jit(self._eval_step_impl)
 
-    def init_state(self, bag_shape: Tuple[int, int, int, int], rna_features: int) -> FusionTrainState:
-        bags = jnp.zeros((1,) + tuple(bag_shape), jnp.float32)
-        rna = jnp.zeros((1, rna_features), jnp.float32)
-        variables = self.model.init(
-            {"params": self.keys.fold("init"), "dropout": self.keys.fold("drop")}, bags, rna, train=False
-        )
-        params = variables["params"]
+    def _build_tx(self, params) -> None:
         mask = {"backbone": _trainable_mask(params["backbone"], self.cfg.freeze_backbone_early)}
         for k in params:
             if k != "backbone":
@@ -104,6 +98,15 @@ class FusionTrainer:
              "freeze": optax.set_to_zero()},
             labels,
         )
+
+    def init_state(self, bag_shape: Tuple[int, int, int, int], rna_features: int) -> FusionTrainState:
+        bags = jnp.zeros((1,) + tuple(bag_shape), jnp.float32)
+        rna = jnp.zeros((1, rna_features), jnp.float32)
+        variables = self.model.init(
+            {"params": self.keys.fold("init"), "dropout": self.keys.fold("drop")}, bags, rna, train=False
+        )
+        params = variables["params"]
+        self._build_tx(params)
         state = FusionTrainState(
             step=jnp.asarray(0, jnp.int32),
             params=params,
@@ -146,20 +149,19 @@ class FusionTrainer:
         cfg = self.cfg
         if state is None:
             state = self.init_state(bags.bags.shape[1:], bags.rna.shape[1])
+        elif self._tx is None:
+            # resuming on a fresh trainer instance: build the (param-mask)
+            # optimizer from the restored params
+            self._build_tx(state.params)
+        from rnagan_tpu.data.batching import batch_indices
+
         n_dev = self.mesh.devices.size
         history = []
         n = len(bags)
         for epoch in range(num_epochs or cfg.num_epochs):
-            order = np.random.RandomState(cfg.seed + epoch).permutation(n)
             sums, count = {"loss": 0.0, "acc": 0.0}, 0
-            for s in range(0, n, cfg.batch_size):
-                idx = order[s : s + cfg.batch_size]
-                m = np.ones(len(idx), np.float32)
-                target = cfg.batch_size if len(idx) == cfg.batch_size else -(-len(idx) // n_dev) * n_dev
-                if len(idx) < target:
-                    pad = target - len(idx)
-                    idx = np.concatenate([idx, order[np.arange(pad) % n]])
-                    m = np.concatenate([m, np.zeros(pad, np.float32)])
+            for idx, m in batch_indices(n, cfg.batch_size, shuffle=True, seed=cfg.seed,
+                                        epoch=epoch, pad_to=n_dev):
                 batch = shard_batch(
                     {
                         "bags": tiles_to_float(bags.bags[idx]) * 0.5 + 0.5,  # [0,1] for imagenet-style nets

@@ -181,20 +181,12 @@ class TileClassifierTrainer:
 
     # ------------------------------------------------------------------ loops
     def _batches(self, n, epoch, shuffle):
-        bs = self.cfg.batch_size
-        order = np.arange(n)
-        if shuffle:
-            np.random.RandomState(self.cfg.seed + epoch).shuffle(order)
-        n_dev = self.mesh.shape[self.cfg.mesh.data_axis]
-        for s in range(0, n, bs):
-            idx = order[s : s + bs]
-            mask = np.ones(len(idx), np.float32)
-            target = bs if len(idx) == bs else -(-len(idx) // n_dev) * n_dev
-            if len(idx) < target:
-                pad = target - len(idx)
-                idx = np.concatenate([idx, order[np.arange(pad) % n]])
-                mask = np.concatenate([mask, np.zeros(pad, np.float32)])
-            yield idx, mask
+        from rnagan_tpu.data.batching import batch_indices
+
+        yield from batch_indices(
+            n, self.cfg.batch_size, shuffle=shuffle, seed=self.cfg.seed, epoch=epoch,
+            pad_to=self.mesh.shape[self.cfg.mesh.data_axis],
+        )
 
     def fit(self, images01: np.ndarray, labels: np.ndarray,
             val_images01: np.ndarray, val_labels: np.ndarray,

@@ -88,3 +88,27 @@ def test_async_saver(tmp_path):
     trees, meta = load_bundle(p)
     assert meta["epoch"] == 2
     np.testing.assert_array_equal(trees["x"], np.arange(4) * 2)
+
+
+def test_async_saver_survives_donation(tmp_path):
+    """The saved snapshot must not alias buffers a later jitted step donates
+    (the race that silently dropped per-epoch GAN checkpoints)."""
+    import jax
+    import jax.numpy as jnp
+
+    from rnagan_tpu.core.checkpoint import AsyncSaver, load_bundle
+
+    saver = AsyncSaver()
+    x = jnp.arange(8, dtype=jnp.float32)
+
+    @jax.jit
+    def donate_step(a):
+        return a + 1
+
+    donate_step = jax.jit(lambda a: a + 1, donate_argnums=(0,))
+    p = str(tmp_path / "d.model")
+    saver.save_bundle(p, {"x": x}, {"epoch": 0})
+    _ = donate_step(x)  # donates/deletes x's buffer immediately
+    saver.wait()  # raises if the worker hit 'Array has been deleted'
+    trees, _ = load_bundle(p)
+    np.testing.assert_array_equal(trees["x"], np.arange(8, dtype=np.float32))
