@@ -154,7 +154,10 @@ int64_t lz4_block_decompress(const uint8_t* src, int64_t src_len, uint8_t* dst,
 int64_t lz4_block_compress(const uint8_t* src, int64_t n, uint8_t* dst, int64_t cap) {
   constexpr int kHashLog = 16;
   constexpr int64_t kMfLimit = 12;   // last 12 bytes are always literals
-  std::vector<int64_t> table(1 << kHashLog, -1);
+  // reusable scratch: zero-filling 64K entries per ~200KB tile would cost
+  // more memory traffic than the payload (positions fit int32 per-block)
+  thread_local std::vector<int32_t> table;
+  table.assign(1 << kHashLog, -1);
   auto hash = [](uint32_t v) { return (v * 2654435761U) >> (32 - kHashLog); };
 
   const uint8_t* anchor = src;
@@ -197,7 +200,7 @@ int64_t lz4_block_compress(const uint8_t* src, int64_t n, uint8_t* dst, int64_t 
       uint32_t seq = read_u32(src + ip);
       uint32_t h = hash(seq);
       int64_t cand = table[h];
-      table[h] = ip;
+      table[h] = (int32_t)ip;
       if (cand >= 0 && ip - cand <= 65535 && read_u32(src + cand) == seq) {
         // extend match
         int64_t mlen = 4;
@@ -293,13 +296,17 @@ int64_t lz4f_compress(const uint8_t* src, int64_t n, uint8_t* dst, int64_t cap) 
   dst[op] = (uint8_t)((xxh32(dst + desc, (size_t)(op - desc), 0) >> 8) & 0xff);
   ++op;
 
-  for (int64_t pos = 0; pos < n || (n == 0 && pos == 0); pos += kBlock) {
+  if (n == 0) {  // empty payload: one empty stored block
+    uint32_t bsize = 0x80000000U;
+    std::memcpy(dst + op, &bsize, 4);
+    op += 4;
+  }
+  for (int64_t pos = 0; pos < n; pos += kBlock) {
     int64_t len = std::min(kBlock, n - pos);
-    if (len <= 0 && n > 0) break;
     if (op + 4 > cap) return -2;
     int64_t size_at = op;
     op += 4;
-    int64_t out = n == 0 ? -2 : lz4_block_compress(src + pos, len, dst + op, std::min(cap - op, len - 1));
+    int64_t out = lz4_block_compress(src + pos, len, dst + op, std::min(cap - op, len - 1));
     uint32_t bsize;
     if (out <= 0 || out >= len) {  // incompressible -> stored block
       if (op + len > cap) return -2;
@@ -311,7 +318,6 @@ int64_t lz4f_compress(const uint8_t* src, int64_t n, uint8_t* dst, int64_t cap) 
       op += out;
     }
     std::memcpy(dst + size_at, &bsize, 4);
-    if (n == 0) break;
   }
   if (op + 4 > cap) return -2;
   std::memset(dst + op, 0, 4);  // end mark
@@ -344,6 +350,7 @@ struct MetaInfo {
   uint64_t entries = 0;
   uint64_t last_pg = 0;
   uint64_t txnid = 0;
+  uint32_t psize = 0;  // mm_psize aliases mm_dbs[FREE_DBI].md_pad in liblmdb
   bool valid = false;
 };
 
@@ -352,6 +359,7 @@ MetaInfo parse_meta(const uint8_t* page) {
   const uint8_t* meta = page + kPageHdr;
   if (read_u32(meta) != kMdbMagic) return m;
   if (read_u32(meta + 4) != kMdbDataVersion) return m;
+  m.psize = read_u32(meta + 24);  // mm_psize (free-db md_pad slot)
   const uint8_t* main_db = meta + 24 + 48;  // mm_dbs[1]
   m.entries = read_u64(main_db + 32);
   m.main_root = read_u64(main_db + 40);
@@ -365,11 +373,13 @@ struct Reader {
   int fd = -1;
   const uint8_t* map = nullptr;
   int64_t size = 0;
+  int64_t psize = kPage;
   MetaInfo meta;
 
   const uint8_t* page(uint64_t pgno) const {
-    if ((int64_t)(pgno + 1) * kPage > size) return nullptr;
-    return map + pgno * kPage;
+    // guard against garbage pgnos from corrupt files (incl. mul overflow)
+    if (pgno >= (uint64_t)(size / psize)) return nullptr;
+    return map + (int64_t)pgno * psize;
   }
 };
 
@@ -391,7 +401,10 @@ Reader* reader_open(const char* path) {
   r->map = (const uint8_t*)map;
   r->size = st.st_size;
   MetaInfo m0 = parse_meta(r->map);
-  MetaInfo m1 = parse_meta(r->map + kPage);
+  // real LMDB locates meta page 1 at offset mm_psize (may differ from 4096)
+  int64_t psize = (m0.valid && m0.psize >= 512 && m0.psize <= 65536) ? (int64_t)m0.psize : kPage;
+  r->psize = psize;
+  MetaInfo m1 = (2 * psize <= st.st_size) ? parse_meta(r->map + psize) : MetaInfo{};
   if (!m0.valid && !m1.valid) {
     munmap(map, (size_t)st.st_size);
     ::close(fd);
@@ -419,16 +432,27 @@ struct NodeView {
 };
 
 inline int num_keys(const uint8_t* page) {
-  return (int)((read_u16(page + 12) - kPageHdr) / 2);
+  uint16_t lower = read_u16(page + 12);
+  if (lower < kPageHdr) return 0;
+  return (int)((lower - kPageHdr) / 2);
 }
 
-NodeView node_at(const uint8_t* page, int idx) {
-  uint16_t off = read_u16(page + kPageHdr + 2 * idx);
-  const uint8_t* n = page + off;
+// Returns an invalid view (key == nullptr) when on-disk offsets point outside
+// the page — corrupt files must surface as lookup failures, not wild reads.
+NodeView node_at(const uint8_t* page, int idx, int64_t psize) {
   NodeView v;
+  v.key = nullptr;
+  v.klen = 0;
+  uint16_t off = read_u16(page + kPageHdr + 2 * idx);
+  if (off < kPageHdr || (int64_t)off + 8 > psize) return v;
+  const uint8_t* n = page + off;
   uint16_t lo = read_u16(n), hi = read_u16(n + 2), fl = read_u16(n + 4);
   v.flags = fl;
   v.klen = read_u16(n + 6);
+  if ((int64_t)off + 8 + v.klen > psize) {
+    v.key = nullptr;
+    return v;
+  }
   v.key = n + 8;
   v.data = n + 8 + v.klen;
   v.dlen = (int64_t)lo | ((int64_t)hi << 16);
@@ -438,10 +462,14 @@ NodeView node_at(const uint8_t* page, int idx) {
 
 // value of a leaf node, following overflow chains
 bool leaf_value(const Reader* r, const NodeView& v, const uint8_t** data, int64_t* len) {
+  if (!v.key) return false;
   if (v.flags & F_BIGDATA) {
     uint64_t ovpg = read_u64(v.data);
     const uint8_t* p = r->page(ovpg);
     if (!p || !(read_u16(p + 10) & P_OVERFLOW)) return false;
+    // the whole chain (header + value) must lie inside the mapping — a
+    // truncated file must fail the lookup, not SIGBUS during memcpy
+    if (v.dlen < 0 || (int64_t)ovpg * r->psize + kPageHdr + v.dlen > r->size) return false;
     *data = p + kPageHdr;
     *len = v.dlen;
     return true;
@@ -464,7 +492,8 @@ bool lmdb_get(const Reader* r, const uint8_t* key, int64_t klen, const uint8_t**
       int lo = 0, hi = nk - 1;
       while (lo <= hi) {
         int mid = (lo + hi) / 2;
-        NodeView v = node_at(p, mid);
+        NodeView v = node_at(p, mid, r->psize);
+        if (!v.key) return false;
         int c = key_cmp(key, klen, v.key, v.klen);
         if (c == 0) return leaf_value(r, v, data, len);
         if (c < 0)
@@ -478,7 +507,8 @@ bool lmdb_get(const Reader* r, const uint8_t* key, int64_t klen, const uint8_t**
       int lo = 1, hi = nk - 1, best = 0;
       while (lo <= hi) {
         int mid = (lo + hi) / 2;
-        NodeView v = node_at(p, mid);
+        NodeView v = node_at(p, mid, r->psize);
+        if (!v.key) return false;
         if (key_cmp(v.key, v.klen, key, klen) <= 0) {
           best = mid;
           lo = mid + 1;
@@ -486,7 +516,9 @@ bool lmdb_get(const Reader* r, const uint8_t* key, int64_t klen, const uint8_t**
           hi = mid - 1;
         }
       }
-      pgno = node_at(p, best).child_pgno;
+      NodeView b = node_at(p, best, r->psize);
+      if (!b.key && b.klen) return false;
+      pgno = b.child_pgno;
     } else {
       return false;
     }
@@ -494,9 +526,8 @@ bool lmdb_get(const Reader* r, const uint8_t* key, int64_t klen, const uint8_t**
   return false;
 }
 
-// depth-first in-order walk collecting keys (and optionally value sizes)
-void lmdb_walk(const Reader* r, uint64_t pgno, std::vector<std::pair<std::string, int64_t>>* out,
-               int depth = 0) {
+// depth-first in-order walk collecting keys
+void lmdb_walk(const Reader* r, uint64_t pgno, std::vector<std::string>* out, int depth = 0) {
   if (pgno == P_INVALID || depth > 32) return;
   const uint8_t* p = r->page(pgno);
   if (!p) return;
@@ -504,11 +535,14 @@ void lmdb_walk(const Reader* r, uint64_t pgno, std::vector<std::pair<std::string
   int nk = num_keys(p);
   if (flags & P_LEAF) {
     for (int i = 0; i < nk; ++i) {
-      NodeView v = node_at(p, i);
-      out->emplace_back(std::string((const char*)v.key, (size_t)v.klen), v.dlen);
+      NodeView v = node_at(p, i, r->psize);
+      if (v.key) out->emplace_back((const char*)v.key, (size_t)v.klen);
     }
   } else if (flags & P_BRANCH) {
-    for (int i = 0; i < nk; ++i) lmdb_walk(r, node_at(p, i).child_pgno, out, depth + 1);
+    for (int i = 0; i < nk; ++i) {
+      NodeView v = node_at(p, i, r->psize);
+      if (v.key || v.klen == 0) lmdb_walk(r, v.child_pgno, out, depth + 1);
+    }
   }
 }
 
@@ -596,8 +630,12 @@ void write_meta(uint8_t* page, uint64_t pgno, uint64_t main_root, uint64_t entri
   std::memcpy(m + 4, &kMdbDataVersion, 4);
   // mm_address = 0
   std::memcpy(m + 16, &mapsize, 8);
-  // mm_dbs[0] — FREE db, empty
+  // mm_dbs[0] — FREE db, empty. Its md_pad slot aliases mm_psize in liblmdb;
+  // real LMDB uses it to locate meta page 1 and size the map — leaving it 0
+  // makes liblmdb divide by zero at open.
   uint8_t* freedb = m + 24;
+  uint32_t psize = (uint32_t)kPage;
+  std::memcpy(freedb, &psize, 4);
   uint16_t fdepth = 0;
   std::memcpy(freedb + 6, &fdepth, 2);
   uint64_t inval = P_INVALID;
@@ -768,13 +806,13 @@ int64_t ts_lmdb_get(void* h, const uint8_t* key, int64_t klen, uint8_t* dst, int
 // Serialize all keys as [u32 len][bytes]...; returns bytes needed (call twice).
 int64_t ts_lmdb_keys(void* h, uint8_t* dst, int64_t cap) {
   auto* r = (Reader*)h;
-  std::vector<std::pair<std::string, int64_t>> entries;
+  std::vector<std::string> entries;
   lmdb_walk(r, r->meta.main_root, &entries);
   int64_t need = 0;
-  for (auto& [k, _] : entries) need += 4 + (int64_t)k.size();
+  for (auto& k : entries) need += 4 + (int64_t)k.size();
   if (need > cap) return need;
   int64_t op = 0;
-  for (auto& [k, _] : entries) {
+  for (auto& k : entries) {
     uint32_t l = (uint32_t)k.size();
     std::memcpy(dst + op, &l, 4);
     op += 4;

@@ -136,3 +136,29 @@ def test_lmdb_duplicate_key_last_wins(tmp_path):
     with LMDBTileStore(path) as store:
         assert store.get_raw(b"k") == b"second"
         assert store.get_raw(b"other") == b"x"
+
+
+def test_lmdb_meta_psize_written(tmp_path):
+    """liblmdb locates meta page 1 via mm_psize (aliased to the free-db md_pad
+    slot) and divides by it at open — it must be 4096, not 0."""
+    path = str(tmp_path / "ps.db")
+    with LMDBTileWriter(path) as w:
+        w.put_raw(b"k", b"v")
+    raw = open(path, "rb").read()
+    for pg in (0, 1):
+        psize = int.from_bytes(raw[pg * 4096 + 16 + 24 :][:4], "little")
+        assert psize == 4096
+
+
+def test_lmdb_reader_survives_truncation(tmp_path, rng):
+    """A DB truncated mid-overflow-chain must fail lookups cleanly, not crash."""
+    path = str(tmp_path / "trunc.db")
+    with LMDBTileWriter(path) as w:
+        w.put_tile("big", rng.randint(0, 255, (256, 256, 3), dtype=np.uint8))
+    raw = open(path, "rb").read()
+    open(path, "wb").write(raw[: len(raw) // 2])
+    try:
+        with LMDBTileStore(path) as store:
+            assert store.get_tile(b"0") is None or True  # no crash is the contract
+    except IOError:
+        pass  # refusing to open a torn file is also acceptable
