@@ -394,17 +394,23 @@ class GANTrainer:
         timer = StepTimer()
         history = []
         for epoch in range(num_epochs):
-            sums: Dict[str, float] = {}
+            # keep per-step metrics as device arrays and fetch ONCE per epoch:
+            # a host sync every step stalls the dispatch pipeline (and costs a
+            # ~0.5 s RPC per step on tunneled backends)
+            pending = []
             count = 0
             for batch in batches_per_epoch_fn(epoch):
                 sharded = shard_batch(batch, self.mesh)
                 timer.start()
                 state, metrics = self._train_step(state, sharded, self.vae_variables)
                 timer.stop(metrics["d_loss"])
-                metrics = jax.device_get(metrics)
+                pending.append(metrics)
+                count += 1
+            fetched = jax.device_get(pending)
+            sums: Dict[str, float] = {}
+            for metrics in fetched:
                 for k, v in metrics.items():
                     sums[k] = sums.get(k, 0.0) + float(v)
-                count += 1
             means = {k: v / max(count, 1) for k, v in sums.items()}
             means.update(timer.stats())
             if eval_fn is not None and eval_every and (epoch + 1) % eval_every == 0:

@@ -158,7 +158,7 @@ class VAETrainer:
     # ---------------------------------------------------------------- loops
     def _run_epoch(self, state, data: np.ndarray, *, train: bool, epoch: int):
         n_data = self.mesh.shape[self.cfg.mesh.data_axis]
-        sums: Dict[str, float] = {}
+        pending = []
         count = 0
         for batch, mask in batch_iterator(
             data,
@@ -174,10 +174,13 @@ class VAETrainer:
             else:
                 key = self.keys.fold("eval", epoch * 100003 + count)
                 losses, _ = self._eval_step(state, sharded["x"], sharded["m"], key)
-            losses = jax.device_get(losses)
+            # defer host fetches to epoch end (per-step syncs stall dispatch)
+            pending.append(losses)
+            count += 1
+        sums: Dict[str, float] = {}
+        for losses in jax.device_get(pending):
             for k, v in losses.items():
                 sums[k] = sums.get(k, 0.0) + float(v)
-            count += 1
         means = {k: v / max(count, 1) for k, v in sums.items()}
         return state, means
 
