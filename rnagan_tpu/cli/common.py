@@ -47,17 +47,16 @@ def load_gan_dataframe(config: Dict[str, Any]):
 
 
 def load_inception_extractor(weights_path=None):
-    """InceptionExtractor, optionally from a torchvision ``inception_v3``
-    state_dict (.pt) for published-FID parity (shared by the fid / gan-train /
-    representation CLIs)."""
+    """InceptionExtractor, optionally from pretrained weights — torchvision
+    ``inception_v3`` state_dict (.pt/.pth, the reference's exact FID network)
+    or keras-applications InceptionV3 (.h5/.npz) — with input/pool conventions
+    matched to the source (shared by the fid / gan-train / representation
+    CLIs)."""
     from rnagan_tpu.eval.fid import InceptionExtractor
 
-    variables = None
     if weights_path:
-        import torch
+        from rnagan_tpu.models.inception import load_fid_inception
 
-        from rnagan_tpu.models.inception import params_from_torch_state_dict
-
-        sd = torch.load(weights_path, map_location="cpu", weights_only=True)
-        variables = params_from_torch_state_dict({k: v.numpy() for k, v in sd.items()})
-    return InceptionExtractor(variables)
+        variables, kwargs = load_fid_inception(weights_path)
+        return InceptionExtractor(variables, **kwargs)
+    return InceptionExtractor(None)

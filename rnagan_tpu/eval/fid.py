@@ -27,18 +27,21 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from rnagan_tpu.models.inception import InceptionV3Features, init_inception
+from rnagan_tpu.models.inception import InceptionV3Features
 
 
 class InceptionExtractor:
     """Batched activation extraction (the PartialInceptionNetwork equivalent,
     reference ``fid.py:33-94``)."""
 
-    def __init__(self, variables=None, *, transform_input: bool = True, dtype=jnp.bfloat16, seed: int = 0):
+    def __init__(self, variables=None, *, transform_input: bool = True, dtype=jnp.bfloat16,
+                 seed: int = 0, torch_pool: bool = False):
+        self.model = InceptionV3Features(transform_input=transform_input, dtype=dtype,
+                                         torch_pool=torch_pool)
         if variables is None:
-            self.model, self.variables = init_inception(jax.random.key(seed), transform_input, dtype)
+            self.variables = self.model.init(jax.random.key(seed),
+                                             jnp.zeros((1, 299, 299, 3), jnp.float32))
         else:
-            self.model = InceptionV3Features(transform_input=transform_input, dtype=dtype)
             self.variables = variables
 
         @jax.jit

@@ -52,13 +52,21 @@ def max_pool_3x3_s2(x):
     return nn.max_pool(x, (3, 3), (2, 2))
 
 
-def avg_pool_3x3_s1_p1(x):
-    return nn.avg_pool(x, (3, 3), (1, 1), padding=((1, 1), (1, 1)), count_include_pad=False)
+def avg_pool_3x3_s1_p1(x, torch_pool: bool = False):
+    """3x3/1 avg pool, padding 1. ``torch_pool=False`` divides by the count of
+    *valid* (unpadded) taps — TF/keras semantics, also what pytorch-fid's
+    patched FID network uses. ``torch_pool=True`` divides by 9 everywhere —
+    plain torchvision ``F.avg_pool2d`` (count_include_pad default), the exact
+    op the reference's ``inception_v3(pretrained=True)`` runs (``fid.py:37``).
+    The two differ only on the 1-pixel border of each 35/17/8px feature map."""
+    return nn.avg_pool(x, (3, 3), (1, 1), padding=((1, 1), (1, 1)),
+                       count_include_pad=torch_pool)
 
 
 class InceptionA(nn.Module):
     pool_features: int
     dtype: Any = jnp.float32
+    torch_pool: bool = False
 
     @nn.compact
     def __call__(self, x):
@@ -69,7 +77,7 @@ class InceptionA(nn.Module):
         b3 = C(64, (1, 1), name="branch3x3dbl_1")(x)
         b3 = C(96, (3, 3), padding=_pad(1), name="branch3x3dbl_2")(b3)
         b3 = C(96, (3, 3), padding=_pad(1), name="branch3x3dbl_3")(b3)
-        bp = avg_pool_3x3_s1_p1(x)
+        bp = avg_pool_3x3_s1_p1(x, self.torch_pool)
         bp = C(self.pool_features, (1, 1), name="branch_pool")(bp)
         return jnp.concatenate([b1, b5, b3, bp], axis=-1)
 
@@ -91,6 +99,7 @@ class InceptionB(nn.Module):
 class InceptionC(nn.Module):
     channels_7x7: int
     dtype: Any = jnp.float32
+    torch_pool: bool = False
 
     @nn.compact
     def __call__(self, x):
@@ -105,7 +114,7 @@ class InceptionC(nn.Module):
         bd = C(c7, (1, 7), padding=_pad((0, 3)), name="branch7x7dbl_3")(bd)
         bd = C(c7, (7, 1), padding=_pad((3, 0)), name="branch7x7dbl_4")(bd)
         bd = C(192, (1, 7), padding=_pad((0, 3)), name="branch7x7dbl_5")(bd)
-        bp = avg_pool_3x3_s1_p1(x)
+        bp = avg_pool_3x3_s1_p1(x, self.torch_pool)
         bp = C(192, (1, 1), name="branch_pool")(bp)
         return jnp.concatenate([b1, b7, bd, bp], axis=-1)
 
@@ -128,6 +137,7 @@ class InceptionD(nn.Module):
 
 class InceptionE(nn.Module):
     dtype: Any = jnp.float32
+    torch_pool: bool = False
 
     @nn.compact
     def __call__(self, x):
@@ -150,7 +160,7 @@ class InceptionE(nn.Module):
             ],
             axis=-1,
         )
-        bp = avg_pool_3x3_s1_p1(x)
+        bp = avg_pool_3x3_s1_p1(x, self.torch_pool)
         bp = C(192, (1, 1), name="branch_pool")(bp)
         return jnp.concatenate([b1, b3, bd, bp], axis=-1)
 
@@ -165,6 +175,10 @@ class InceptionV3Features(nn.Module):
 
     transform_input: bool = True
     dtype: Any = jnp.float32
+    # torchvision's pretrained net divides border avg-pool taps by 9
+    # (count_include_pad); TF/keras weights (and pytorch-fid's canonical FID
+    # network) divide by the valid-tap count. Pick per weight source.
+    torch_pool: bool = False
 
     @nn.compact
     def __call__(self, x):
@@ -183,17 +197,18 @@ class InceptionV3Features(nn.Module):
         x = C(80, (1, 1), name="Conv2d_3b_1x1")(x)
         x = C(192, (3, 3), name="Conv2d_4a_3x3")(x)
         x = max_pool_3x3_s2(x)
-        x = InceptionA(32, self.dtype, name="Mixed_5b")(x)
-        x = InceptionA(64, self.dtype, name="Mixed_5c")(x)
-        x = InceptionA(64, self.dtype, name="Mixed_5d")(x)
+        tp = self.torch_pool
+        x = InceptionA(32, self.dtype, tp, name="Mixed_5b")(x)
+        x = InceptionA(64, self.dtype, tp, name="Mixed_5c")(x)
+        x = InceptionA(64, self.dtype, tp, name="Mixed_5d")(x)
         x = InceptionB(self.dtype, name="Mixed_6a")(x)
-        x = InceptionC(128, self.dtype, name="Mixed_6b")(x)
-        x = InceptionC(160, self.dtype, name="Mixed_6c")(x)
-        x = InceptionC(160, self.dtype, name="Mixed_6d")(x)
-        x = InceptionC(192, self.dtype, name="Mixed_6e")(x)
+        x = InceptionC(128, self.dtype, tp, name="Mixed_6b")(x)
+        x = InceptionC(160, self.dtype, tp, name="Mixed_6c")(x)
+        x = InceptionC(160, self.dtype, tp, name="Mixed_6d")(x)
+        x = InceptionC(192, self.dtype, tp, name="Mixed_6e")(x)
         x = InceptionD(self.dtype, name="Mixed_7a")(x)
-        x = InceptionE(self.dtype, name="Mixed_7b")(x)
-        x = InceptionE(self.dtype, name="Mixed_7c")(x)
+        x = InceptionE(self.dtype, tp, name="Mixed_7b")(x)
+        x = InceptionE(self.dtype, tp, name="Mixed_7c")(x)
         x = jnp.mean(x, axis=(1, 2))  # adaptive avg pool to 1x1 (fid.py:61-63)
         return x.astype(jnp.float32)
 
@@ -236,3 +251,129 @@ def params_from_torch_state_dict(state_dict: Dict[str, Any]) -> Dict[str, Any]:
             elif param == "running_var":
                 put(stats, module_path + ["bn", "var"], arr)
     return {"params": params, "batch_stats": stats}
+
+
+def _block_conv_paths():
+    """Conv module paths in *creation order* — identical for torchvision's
+    ``Inception3.__init__`` and keras ``inception_v3`` (branch order and every
+    concat order match; verified against keras/src/applications/inception_v3.py
+    and reference ``fid.py:37``'s torchvision graph)."""
+    A = ["branch1x1", "branch5x5_1", "branch5x5_2",
+         "branch3x3dbl_1", "branch3x3dbl_2", "branch3x3dbl_3", "branch_pool"]
+    B = ["branch3x3", "branch3x3dbl_1", "branch3x3dbl_2", "branch3x3dbl_3"]
+    Cc = ["branch1x1", "branch7x7_1", "branch7x7_2", "branch7x7_3",
+          "branch7x7dbl_1", "branch7x7dbl_2", "branch7x7dbl_3",
+          "branch7x7dbl_4", "branch7x7dbl_5", "branch_pool"]
+    D = ["branch3x3_1", "branch3x3_2",
+         "branch7x7x3_1", "branch7x7x3_2", "branch7x7x3_3", "branch7x7x3_4"]
+    E = ["branch1x1", "branch3x3_1", "branch3x3_2a", "branch3x3_2b",
+         "branch3x3dbl_1", "branch3x3dbl_2", "branch3x3dbl_3a",
+         "branch3x3dbl_3b", "branch_pool"]
+    paths = [("Conv2d_1a_3x3",), ("Conv2d_2a_3x3",), ("Conv2d_2b_3x3",),
+             ("Conv2d_3b_1x1",), ("Conv2d_4a_3x3",)]
+    for block, names in [("Mixed_5b", A), ("Mixed_5c", A), ("Mixed_5d", A),
+                         ("Mixed_6a", B), ("Mixed_6b", Cc), ("Mixed_6c", Cc),
+                         ("Mixed_6d", Cc), ("Mixed_6e", Cc), ("Mixed_7a", D),
+                         ("Mixed_7b", E), ("Mixed_7c", E)]:
+        paths.extend((block, n) for n in names)
+    assert len(paths) == 94
+    return paths
+
+
+KERAS_CONV_ORDER = _block_conv_paths()
+
+
+def params_from_keras_arrays(kernels, betas, means, variances) -> Dict[str, Any]:
+    """Build flax variables from keras-InceptionV3 weights given as four lists
+    in conv *creation order* (keras auto-names ``conv2d[_i]`` /
+    ``batch_normalization[_i]`` follow creation order). Keras convs are
+    already HWIO; its BatchNorm uses ``scale=False`` so gamma is 1.
+
+    Use with ``InceptionV3Features(transform_input=False, torch_pool=False)``:
+    keras's published weights expect plain ``x*2-1`` input (no torchvision
+    channel remap) and TF avg-pool border semantics."""
+    if not (len(kernels) == len(betas) == len(means) == len(variances) == 94):
+        raise ValueError(f"expected 94 conv/bn pairs, got {len(kernels)}")
+    params: Dict[str, Any] = {}
+    stats: Dict[str, Any] = {}
+
+    def node(tree, path):
+        for p in path:
+            tree = tree.setdefault(p, {})
+        return tree
+
+    for path, k, b, m, v in zip(KERAS_CONV_ORDER, kernels, betas, means, variances):
+        k = np.asarray(k, np.float32)
+        p = node(params, path)
+        p["conv"] = {"kernel": k}
+        p["bn"] = {"scale": np.ones(k.shape[-1], np.float32),
+                   "bias": np.asarray(b, np.float32)}
+        s = node(stats, path)
+        s["bn"] = {"mean": np.asarray(m, np.float32),
+                   "var": np.asarray(v, np.float32)}
+    return {"params": params, "batch_stats": stats}
+
+
+def params_from_keras_h5(path: str) -> Dict[str, Any]:
+    """Load keras-applications InceptionV3 weights from an ``.h5`` file (the
+    ``..._tf_dim_ordering_tf_kernels[_notop].h5`` artifacts). Handles both the
+    modern ``conv2d``/``conv2d_1`` and legacy ``conv2d_1``-first namings by
+    numeric sort."""
+    import h5py
+
+    def order_key(name, prefix):
+        rest = name[len(prefix):].lstrip("_")
+        return int(rest) if rest else 0
+
+    with h5py.File(path, "r") as f:
+        root = f["model_weights"] if "model_weights" in f else f
+
+        def collect(prefix):
+            names = [n for n in root if n == prefix or
+                     (n.startswith(prefix + "_") and n[len(prefix) + 1:].isdigit())]
+            return sorted(names, key=lambda n: order_key(n, prefix))
+
+        def leaf_arrays(group):
+            out = {}
+            def visit(_, obj):
+                if hasattr(obj, "shape") and hasattr(obj, "dtype"):
+                    out[obj.name.rsplit("/", 1)[-1].split(":")[0]] = np.asarray(obj)
+            group.visititems(visit)
+            return out
+
+        kernels, betas, means, variances = [], [], [], []
+        for cname, bname in zip(collect("conv2d"), collect("batch_normalization")):
+            cw = leaf_arrays(root[cname])
+            bw = leaf_arrays(root[bname])
+            kernels.append(cw["kernel"])
+            betas.append(bw["beta"])
+            means.append(bw["moving_mean"])
+            variances.append(bw["moving_variance"])
+    return params_from_keras_arrays(kernels, betas, means, variances)
+
+
+def load_fid_inception(weights_path: str):
+    """Load FID-inception weights from either source and return
+    ``(variables, module_kwargs)`` matched to that source's conventions:
+
+    * ``.pt``/``.pth`` — torchvision ``inception_v3_google`` state_dict, the
+      reference's exact network (``fid.py:37``): ``transform_input=True``,
+      ``torch_pool=True``;
+    * ``.h5``/``.npz`` — keras-applications InceptionV3 (same TF-slim
+      architecture, independently trained): ``transform_input=False``,
+      ``torch_pool=False``.
+    """
+    if weights_path.endswith((".pt", ".pth")):
+        import torch
+
+        sd = torch.load(weights_path, map_location="cpu", weights_only=True)
+        return params_from_torch_state_dict(sd), {"transform_input": True, "torch_pool": True}
+    if weights_path.endswith(".h5"):
+        return params_from_keras_h5(weights_path), {"transform_input": False, "torch_pool": False}
+    if weights_path.endswith(".npz"):
+        data = np.load(weights_path)
+        n = 94
+        lists = [[data[f"{field}_{i}"] for i in range(n)]
+                 for field in ("kernel", "beta", "mean", "var")]
+        return params_from_keras_arrays(*lists), {"transform_input": False, "torch_pool": False}
+    raise ValueError(f"unsupported inception weights format: {weights_path}")
