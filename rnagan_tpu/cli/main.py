@@ -15,6 +15,7 @@ COMMANDS = {
     "representation": ("rnagan_tpu.cli.representation", "per-patient representations (compute_representation.py)"),
     "ml-experiment": ("rnagan_tpu.cli.ml_experiment", "downstream classification (ml_experiments.py)"),
     "tile": ("rnagan_tpu.cli.tile", "WSI preprocessing (patch_gen_grid.py)"),
+    "export-torch": ("rnagan_tpu.cli.export_torch", "GAN checkpoint <-> torchgan .model conversion"),
 }
 
 

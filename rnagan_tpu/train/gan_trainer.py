@@ -344,7 +344,19 @@ class GANTrainer:
 
     def load_model(self, path: str) -> GANTrainState:
         """Resume from a bundle (the ``trainer.load_model`` equivalent,
-        reference ``histopathology_gan.py:311-312``)."""
+        reference ``histopathology_gan.py:311-312``). Accepts both our native
+        msgpack bundles and the reference's torch-saved torchgan ``.model``
+        bundles (format sniffed from the file magic), so reference-trained
+        checkpoints drive this framework directly."""
+        with open(path, "rb") as f:
+            magic = f.read(4)
+        # torch.save: zipfile ("PK\x03\x04") or legacy pickle (\x80 protocol)
+        if magic[:2] == b"PK" or magic[:1] == b"\x80":
+            from rnagan_tpu.models.dcgan_torch import import_torchgan_bundle
+
+            template = self.init_state()
+            state, _epoch = import_torchgan_bundle(path, self.cfg, jax.device_get(template))
+            return jax.device_put(state, replicated(self.mesh))
         template = self.init_state()
         targets = {
             "g_params": template.g_params, "g_stats": template.g_stats, "g_opt": template.g_opt,

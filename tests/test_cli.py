@@ -175,6 +175,62 @@ def test_fid_cli(workspace):
     assert np.isfinite(mean) and std >= 0
 
 
+def test_fid_cli_fake_vs_fake(workspace):
+    """--checkpoint2: both sides generated per repetition (reference
+    fid.py:309-323)."""
+    ckpt = str(workspace / "gan_ckpt" / "gan_last.model")
+    mean, std = fid_cli.main([
+        "--config", str(workspace / "gan.json"),
+        "--checkpoint", ckpt, "--checkpoint2", ckpt,
+        "--num_images", "8", "--repetitions", "2", "--batch_size", "8",
+        "--num_patches", "4",
+    ])
+    # same checkpoint, different sample keys: small-but-positive FID
+    assert np.isfinite(mean) and std >= 0
+
+
+def test_fid_cli_real_vs_real(workspace):
+    """--patient1 --patient2 --real: two patients' real tiles (reference
+    fid.py:325-327), second dataset via --config2 (fid.py:296-301)."""
+    mean, std = fid_cli.main([
+        "--config", str(workspace / "gan.json"),
+        "--config2", str(workspace / "gan.json"),
+        "--checkpoint", str(workspace / "gan_ckpt" / "gan_last.model"),
+        "--patient1", "GTEX-T0-0000.svs", "--patient2", "GTEX-T1-0001.svs",
+        "--real", "--num_images", "6", "--batch_size", "8",
+    ])
+    assert np.isfinite(mean) and std == 0.0
+
+
+def test_export_torch_cli_roundtrip(workspace, tmp_path):
+    """Native bundle -> torchgan .model -> native again; every stage loads."""
+    from rnagan_tpu.cli import export_torch as export_cli
+
+    torch_path = export_cli.main([
+        "--config", str(workspace / "gan.json"),
+        "--checkpoint", str(workspace / "gan_ckpt" / "gan_last.model"),
+        "--out", str(tmp_path / "ref.model"), "--epoch", "3",
+    ])
+    import torch
+
+    bundle = torch.load(torch_path, map_location="cpu", weights_only=False)
+    assert bundle["epoch"] == 4 and "optimizer_generator" in bundle
+
+    native_path = export_cli.main([
+        "--config", str(workspace / "gan.json"),
+        "--checkpoint", torch_path,
+        "--out", str(tmp_path / "back.model"), "--to_native",
+    ])
+    # the re-converted native bundle drives generation
+    mean, std = fid_cli.main([
+        "--config", str(workspace / "gan.json"),
+        "--checkpoint", native_path,
+        "--num_images", "8", "--repetitions", "1", "--batch_size", "8",
+        "--num_patches", "4",
+    ])
+    assert np.isfinite(mean)
+
+
 def test_tile_cli(workspace, tmp_path):
     from PIL import Image
 
