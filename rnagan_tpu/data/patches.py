@@ -293,6 +293,70 @@ class BagData:
         return len(self.bags)
 
 
+def load_bag_folder(
+    df: pd.DataFrame,
+    patch_path: str,
+    *,
+    bag_size: int = 20,
+    max_patch_per_wsi: int = 400,
+    img_size: Optional[int] = None,
+    quick: Optional[List[str]] = None,
+) -> BagData:
+    """Load bags from the reference's file-per-patch JPEG layout
+    (``get_data_rna_bag_wsi``, reference ``read_data.py:60-98``): one
+    directory per slide under ``patch_path/<wsi_file_name>/`` containing
+    ``<wsi>_patch_<i>.jpeg`` files, with the patch count given by
+    ``loc.txt``'s line count minus 2 (``read_data.py:83-85``).
+
+    Reference semantics preserved: the first ``max_patch_per_wsi`` patches in
+    index order (``images[:limit]``, ``:87-88``), consecutive non-overlapping
+    ``bag_size`` chunks (``:95-96``), slide-level label + ``rna_*`` vector per
+    bag; ``quick`` filters to the listed slides (``:70-71``).
+    """
+    from PIL import Image
+
+    if quick is not None:
+        df = df.loc[df["wsi_file_name"].isin(quick)]
+    cols = rna_columns(df)
+    label_col = "Labels" if "Labels" in df.columns else ("labels" if "labels" in df.columns else None)
+
+    bags, labels, slide_idx, slides, rna_rows = [], [], [], [], []
+    for _, row in df.iterrows():
+        wsi = row["wsi_file_name"]
+        slide_dir = os.path.join(patch_path, wsi)
+        loc = os.path.join(slide_dir, "loc.txt")
+        if not os.path.isdir(slide_dir) or not os.path.exists(loc):
+            continue
+        with open(loc) as f:
+            n_patches = sum(1 for _ in f) - 2
+        paths = [os.path.join(slide_dir, f"{wsi}_patch_{i}.jpeg") for i in range(n_patches)]
+        if max_patch_per_wsi is not None:
+            paths = paths[:max_patch_per_wsi]
+        sid = len(slides)
+        slides.append(wsi)
+        if cols:
+            rna_rows.append(np.asarray(row[cols].values, np.float32))
+        label = int(row[label_col]) if label_col else 0
+        for k in range(len(paths) // bag_size):
+            tiles = []
+            for p in paths[bag_size * k : bag_size * (k + 1)]:
+                with Image.open(p) as im:
+                    im = im.convert("RGB")
+                    if img_size is not None and im.size != (img_size, img_size):
+                        im = im.resize((img_size, img_size), Image.BILINEAR)
+                    tiles.append(np.asarray(im, np.uint8))
+            bags.append(np.stack(tiles))
+            labels.append(label)
+            slide_idx.append(sid)
+
+    if not bags:
+        return BagData(np.zeros((0, bag_size, 0, 0, 3), np.uint8), np.zeros(0, np.int32),
+                       np.zeros(0, np.int32), slides, np.stack(rna_rows) if rna_rows else None)
+    return BagData(np.stack(bags), np.asarray(labels, np.int32),
+                   np.asarray(slide_idx, np.int32), slides,
+                   np.stack(rna_rows) if rna_rows else None)
+
+
 def make_bags(data: PatchData, bag_size: int = 40, seed: int = 0, drop_last: bool = True) -> BagData:
     """Group a PatchData into per-slide bags (shuffled within slide, as the
     reference's ``shuffle()`` does, ``read_data.py:134``)."""

@@ -189,3 +189,66 @@ def test_streaming_patch_batches(tmp_path, rng):
     other = list(stream.epoch(1))
     assert not np.allclose(batches[0]["image"], other[0]["image"])
     stream.close()
+
+
+def test_load_bag_folder_reference_jpeg_layout(tmp_path, rng):
+    """The reference's file-per-patch layout (read_data.py:60-98): per-slide
+    dirs of <wsi>_patch_<i>.jpeg counted by loc.txt lines - 2; bags are
+    consecutive bag_size chunks of the first max_patch_per_wsi patches."""
+    from PIL import Image
+
+    from rnagan_tpu.data.patches import load_bag_folder
+
+    root = str(tmp_path / "jpegs")
+    rows = []
+    tiles_written = {}
+    for s, n_tiles in [("GTEX-J1.svs", 7), ("GTEX-J2.svs", 4)]:
+        d = os.path.join(root, s)
+        os.makedirs(d)
+        arrs = []
+        for i in range(n_tiles):
+            # constant-color tiles encode patch index (JPEG is ~lossless on flats)
+            a = np.full((16, 16, 3), 20 + 30 * i, np.uint8)
+            Image.fromarray(a).save(os.path.join(d, f"{s}_patch_{i}.jpeg"), quality=95)
+            arrs.append(a)
+        tiles_written[s] = arrs
+        # loc.txt: 2 header lines + one line per patch (count = lines - 2)
+        with open(os.path.join(d, "loc.txt"), "w") as f:
+            f.write("header\nheader2\n" + "".join(f"{i},0,0\n" for i in range(n_tiles)))
+        rows.append({"wsi_file_name": s, "Labels": len(rows),
+                     "rna_a": float(len(rows)), "rna_b": 2.0})
+    df = pd.DataFrame(rows)
+
+    bags = load_bag_folder(df, root, bag_size=2, max_patch_per_wsi=6)
+    # slide 1: min(7, 6) = 6 patches -> 3 bags; slide 2: 4 -> 2 bags
+    assert bags.bags.shape == (5, 2, 16, 16, 3)
+    np.testing.assert_array_equal(bags.labels, [0, 0, 0, 1, 1])
+    np.testing.assert_array_equal(bags.slide_idx, [0, 0, 0, 1, 1])
+    assert bags.rna.shape == (2, 2)
+    np.testing.assert_allclose(bags.rna[:, 0], [0.0, 1.0])
+    # bags hold consecutive patches in index order: bag 0 = patches 0,1;
+    # bag 2 = patches 4,5 (first max_patch_per_wsi=6 of 7, read_data.py:87-96)
+    for bag_i, first_patch in [(0, 0), (1, 2), (2, 4)]:
+        expect = [20 + 30 * (first_patch + j) for j in range(2)]
+        got = bags.bags[bag_i].astype(np.float32).mean(axis=(1, 2, 3))
+        np.testing.assert_allclose(got, expect, atol=3.0)
+
+    # quick filter (read_data.py:70-71)
+    only = load_bag_folder(df, root, bag_size=2, max_patch_per_wsi=6, quick=["GTEX-J2.svs"])
+    assert only.slides == ["GTEX-J2.svs"] and len(only.bags) == 2
+
+    # fusion trainer consumes the folder-loaded bags unchanged
+    from rnagan_tpu.models.resnet import BasicBlock, ResNet
+    from rnagan_tpu.train.fusion_trainer import FusionConfig, FusionTrainer
+
+    import jax
+
+    from rnagan_tpu.core.config import MeshConfig
+    from rnagan_tpu.parallel.mesh import make_mesh
+
+    cfg = FusionConfig(batch_size=2, num_epochs=1, num_classes=2, rna_hidden_dims=(4,))
+    backbone = ResNet(BasicBlock, (1, 1, 1, 1), num_classes=2, compute_dtype="float32")
+    mesh = make_mesh(MeshConfig(data=1, model=1), devices=jax.devices()[:1])
+    tr = FusionTrainer(cfg, backbone=backbone, mesh=mesh)
+    state, hist = tr.fit(bags)
+    assert np.isfinite(hist["history"][0]["loss"])
