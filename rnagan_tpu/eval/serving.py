@@ -193,6 +193,84 @@ def fused_up_block(x: jax.Array, kernel6: jax.Array, bias: jax.Array) -> jax.Arr
     ) + bias
 
 
+def _up_block_ref(x: jax.Array, kernel3: jax.Array, bias: jax.Array) -> jax.Array:
+    """The original two-op up-block (2x bilinear upsample -> reflect-pad ->
+    3x3 VALID conv), used on thin edge strips for the exact border fix-up."""
+    from rnagan_tpu.models.dcgan import reflect_pad_hw, upsample2x_bilinear
+
+    x = reflect_pad_hw(upsample2x_bilinear(x), 1)
+    return jax.lax.conv_general_dilated(
+        x, kernel3, (1, 1), "VALID", dimension_numbers=("NHWC", "HWIO", "NHWC")
+    ) + bias
+
+
+def fused_up_block_exact(x: jax.Array, kernel6: jax.Array, kernel3: jax.Array,
+                         bias: jax.Array) -> jax.Array:
+    """Fused up-block with EXACT border: the single stride-2 transposed conv
+    handles the interior; the 2-pixel output frame (where the transposed
+    conv's implicit zero padding diverges from upsample edge-clamp +
+    reflection pad) is recomputed with the original two-op pipeline on 4-wide
+    input edge strips — O(edge) extra work for bit-parity with the unfused
+    generator. The output rows 0..1 depend only on input rows 0..2 (and
+    the top clamp), so 4-row strips are sufficient; same for every side."""
+    y = fused_up_block(x, kernel6, bias)
+    s = 4
+    top = _up_block_ref(x[:, :s], kernel3, bias)[:, :2]
+    bot = _up_block_ref(x[:, -s:], kernel3, bias)[:, -2:]
+    left = _up_block_ref(x[:, :, :s], kernel3, bias)[:, :, :2]
+    right = _up_block_ref(x[:, :, -s:], kernel3, bias)[:, :, -2:]
+    y = y.at[:, :2].set(top).at[:, -2:].set(bot)
+    y = y.at[:, :, :2].set(left).at[:, :, -2:].set(right)
+    return y
+
+
+def fuse_up_generator_params(cfg: GANModelConfig, folded_params: Dict[str, Any],
+                             *, dtype=jnp.float32) -> Dict[str, Any]:
+    """Precompute the fused 6x6 kernels for every resize-conv up-block of a
+    BN-folded ``dcgan_up`` generator. Returns the folded params with
+    ``kernel6`` added to each ``Conv_i`` leaf."""
+    r = cfg.out_size.bit_length() - 4
+    out = {k: dict(v) for k, v in folded_params.items()}
+    for i in range(r + 1):
+        k3 = np.asarray(folded_params[f"Conv_{i}"]["kernel"], np.float32)
+        out[f"Conv_{i}"]["kernel6"] = jnp.asarray(resize_conv_to_transposed(k3), dtype)
+    return out
+
+
+def dcgan_up_lax_apply(cfg: GANModelConfig, params: Dict[str, Any], noise: jax.Array, *,
+                       head_fn=None, final_tanh: bool = True,
+                       exact_border: bool = True) -> jax.Array:
+    """Folded resize-conv generator on the fused path: ConvT head + one
+    stride-2 transposed conv per up-block (kernels from
+    ``fuse_up_generator_params``), borders exact via
+    :func:`fused_up_block_exact`. Numerically identical to the flax
+    ``DCGANUpGenerator`` in eval mode; removes one full-resolution HBM
+    round-trip (upsample) and one pad op per block."""
+    import jax.lax as lax
+
+    dt = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32
+    r = cfg.out_size.bit_length() - 4
+    dn = ("NHWC", "HWIO", "NHWC")
+    if head_fn is None:
+        head = params["ConvTranspose_0"]
+        x = lax.conv_transpose(noise.astype(dt)[:, None, None, :], head["kernel"].astype(dt),
+                               (1, 1), "VALID", dimension_numbers=dn) + head["bias"].astype(dt)
+    else:
+        x = head_fn(noise).astype(dt)
+    x = jax.nn.leaky_relu(x, cfg.leaky_slope)
+    block = fused_up_block_exact if exact_border else (
+        lambda x, k6, k3, b: fused_up_block(x, k6, b))
+    for i in range(r):
+        leaf = params[f"Conv_{i}"]
+        x = block(x, leaf["kernel6"].astype(dt), leaf["kernel"].astype(dt),
+                  leaf["bias"].astype(dt))
+        x = jax.nn.leaky_relu(x, cfg.leaky_slope)
+    leaf = params[f"Conv_{r}"]
+    x = block(x, leaf["kernel6"].astype(dt), leaf["kernel"].astype(dt), leaf["bias"].astype(dt))
+    x = x.astype(jnp.float32)
+    return jnp.tanh(x) if final_tanh else x
+
+
 def make_serving_fn(cfg: GANModelConfig, g_params, g_stats, *, weights_dtype=jnp.float32,
                     uint8_output: bool = True, quantized_head: bool = False):
     """Build the fastest synthesis function: BN-folded generator with
@@ -225,49 +303,38 @@ def make_serving_fn(cfg: GANModelConfig, g_params, g_stats, *, weights_dtype=jnp
 
         return fn
 
+    # both lax fast paths share the ConvT 4x4 VALID head, so the int8 Pallas
+    # head applies to either architecture
+    head_fn = None
+    params = variables["params"]
     if quantized_head:
-        if cfg.arch != "dcgan":
-            raise ValueError("quantized_head supports the ConvTranspose generator")
-        head_fn = quantized_head_fn(variables["params"], cfg, cfg.leaky_slope)
-        params = variables["params"]
+        if cfg.arch not in ("dcgan", "dcgan_up"):
+            raise ValueError("quantized_head supports the ConvTranspose-headed generators")
+        head_fn = quantized_head_fn(params, cfg, cfg.leaky_slope)
 
-        if uint8_output:
-            from rnagan_tpu.ops.quantize import pallas_tanh_to_uint8
+    if cfg.arch == "dcgan_up":
+        # fused resize-conv path: one stride-2 transposed conv per up-block
+        # (weight-space fusion), borders exact via edge-strip fix-up
+        params = fuse_up_generator_params(cfg, params, dtype=weights_dtype)
 
-            @jax.jit
-            def fn(noise):
-                pre = dcgan_lax_apply(cfg, params, noise, head_fn=head_fn, final_tanh=False)
-                return pallas_tanh_to_uint8(pre, apply_tanh=True)
-
-        else:
-            @jax.jit
-            def fn(noise):
-                return dcgan_lax_apply(cfg, params, noise, head_fn=head_fn, final_tanh=True)
-
-        return fn
+        def apply_fn(noise, final_tanh):
+            return dcgan_up_lax_apply(cfg, params, noise, head_fn=head_fn,
+                                      final_tanh=final_tanh)
+    else:
+        def apply_fn(noise, final_tanh):
+            return dcgan_lax_apply(cfg, params, noise, head_fn=head_fn,
+                                   final_tanh=final_tanh)
 
     if uint8_output:
         from rnagan_tpu.ops.quantize import pallas_tanh_to_uint8
 
-        if cfg.arch in ("dcgan", "condgan"):
-            # run the generator minus its final tanh, then the fused epilogue
-            pre_module = dataclasses.replace(module, final_tanh=False)
+        @jax.jit
+        def fn(noise):
+            return pallas_tanh_to_uint8(apply_fn(noise, False), apply_tanh=True)
 
-            @jax.jit
-            def fn(noise):
-                pre = pre_module.apply(variables, noise, train=False)
-                return pallas_tanh_to_uint8(pre, apply_tanh=True)
-
-        else:  # resize-conv variant: module output already tanh'd
-            @jax.jit
-            def fn(noise):
-                out = module.apply(variables, noise, train=False)
-                return pallas_tanh_to_uint8(out, apply_tanh=False)
-
-        return fn
-
-    @jax.jit
-    def fn(noise):
-        return module.apply(variables, noise, train=False)
+    else:
+        @jax.jit
+        def fn(noise):
+            return apply_fn(noise, True)
 
     return fn

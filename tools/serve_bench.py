@@ -77,6 +77,31 @@ def main():
     tps, pb = timed(serve, key)
     print(f"C  + fused Pallas tanh->uint8 epilogue: {tps:9.1f} tiles/s  ({pb*1e3:.2f} ms/batch)", flush=True)
 
+    # ---- resize-conv (dcgan_up) A/B: 3-op pipeline vs fused transposed conv
+    from functools import partial as _partial
+
+    from rnagan_tpu.eval.serving import dcgan_up_lax_apply, fuse_up_generator_params
+
+    up_cfg = GANModelConfig(arch="dcgan_up")
+    gvu, _ = init_gan(up_cfg, jax.random.fold_in(key, 9))
+    up_gen = make_generator(up_cfg)
+    up_vars = {"params": gvu["params"], "batch_stats": gvu["batch_stats"]}
+
+    def up_baseline(noise):
+        return up_gen.apply(up_vars, noise, train=False)
+
+    tps, pb = timed(up_baseline, key)
+    print(f"D dcgan_up 3-op pipeline (BN, f32):     {tps:9.1f} tiles/s  ({pb*1e3:.2f} ms/batch)", flush=True)
+
+    _, up_folded = fold_generator(up_cfg, gvu["params"], gvu["batch_stats"])
+    fused_params = fuse_up_generator_params(up_cfg, up_folded["params"])
+
+    tps, pb = timed(_partial(dcgan_up_lax_apply, up_cfg, fused_params, exact_border=False), key)
+    print(f"E dcgan_up fused ConvT (no border fix): {tps:9.1f} tiles/s  ({pb*1e3:.2f} ms/batch)", flush=True)
+
+    tps, pb = timed(_partial(dcgan_up_lax_apply, up_cfg, fused_params, exact_border=True), key)
+    print(f"F dcgan_up fused ConvT + exact border:  {tps:9.1f} tiles/s  ({pb*1e3:.2f} ms/batch)", flush=True)
+
 
 if __name__ == "__main__":
     main()
