@@ -18,10 +18,12 @@
 // Assumes little-endian 64-bit hosts (the TPU-VM fleet) and 4096-byte pages.
 
 #include <algorithm>
+#include <atomic>
 #include <cstdint>
 #include <cstdio>
 #include <cstring>
 #include <string>
+#include <thread>
 #include <vector>
 
 #include <fcntl.h>
@@ -766,6 +768,174 @@ int64_t writer_close(Writer* w) {
   return ok ? (int64_t)items.size() : -1;
 }
 
+// ===========================================================================
+// Bulk tile decode
+// ===========================================================================
+// Tile values are pickle.dumps((name, raw_bytes, shape)) (reference
+// patch_gen_grid.py:117,141). A general unpickler is not needed: scan the
+// binary opcode stream (protocols 2-5) for the one large bytes payload and
+// the trailing small ints (the shape tuple). Unknown opcodes fail the parse
+// and the Python caller falls back to pickle.loads for that entry.
+
+struct TilePickle {
+  const uint8_t* payload = nullptr;
+  int64_t payload_len = 0;
+  int64_t shape[4] = {0, 0, 0, 0};
+  int n_shape = 0;
+};
+
+bool parse_tile_pickle(const uint8_t* p, int64_t n, TilePickle* out) {
+  int64_t i = 0;
+  int64_t ints[8];
+  int n_ints = 0;
+  auto need = [&](int64_t k) { return i + k <= n; };
+  while (i < n) {
+    uint8_t op = p[i++];
+    switch (op) {
+      case 0x80:  // PROTO
+        if (!need(1)) return false;
+        i += 1;
+        break;
+      case 0x95:  // FRAME (protocol 4+)
+        if (!need(8)) return false;
+        i += 8;
+        break;
+      case 0x8c: {  // SHORT_BINUNICODE
+        if (!need(1)) return false;
+        uint8_t l = p[i];
+        i += 1;
+        if (!need(l)) return false;
+        i += l;
+        break;
+      }
+      case 'X': {  // BINUNICODE
+        if (!need(4)) return false;
+        uint32_t l = read_u32(p + i);
+        i += 4;
+        if (!need((int64_t)l)) return false;
+        i += (int64_t)l;
+        break;
+      }
+      case 0x8d: {  // BINUNICODE8
+        if (!need(8)) return false;
+        uint64_t l = read_u64(p + i);
+        i += 8;
+        if (!need((int64_t)l)) return false;
+        i += (int64_t)l;
+        break;
+      }
+      case 'C': {  // SHORT_BINBYTES
+        if (!need(1)) return false;
+        uint8_t l = p[i];
+        i += 1;
+        if (!need(l)) return false;
+        out->payload = p + i;
+        out->payload_len = l;
+        i += l;
+        n_ints = 0;
+        break;
+      }
+      case 'B': {  // BINBYTES
+        if (!need(4)) return false;
+        uint32_t l = read_u32(p + i);
+        i += 4;
+        if (!need((int64_t)l)) return false;
+        out->payload = p + i;
+        out->payload_len = (int64_t)l;
+        i += (int64_t)l;
+        n_ints = 0;
+        break;
+      }
+      case 0x8e: {  // BINBYTES8
+        if (!need(8)) return false;
+        uint64_t l = read_u64(p + i);
+        i += 8;
+        if (!need((int64_t)l)) return false;
+        out->payload = p + i;
+        out->payload_len = (int64_t)l;
+        i += (int64_t)l;
+        n_ints = 0;
+        break;
+      }
+      case 'K':  // BININT1
+        if (!need(1)) return false;
+        if (n_ints < 8) ints[n_ints++] = p[i];
+        i += 1;
+        break;
+      case 'M':  // BININT2
+        if (!need(2)) return false;
+        if (n_ints < 8) ints[n_ints++] = read_u16(p + i);
+        i += 2;
+        break;
+      case 'J':  // BININT (signed 4 bytes)
+        if (!need(4)) return false;
+        if (n_ints < 8) ints[n_ints++] = (int32_t)read_u32(p + i);
+        i += 4;
+        break;
+      case 'q':  // BINPUT (protocols 2-3 memo writes)
+        if (!need(1)) return false;
+        i += 1;
+        break;
+      case 'r':  // LONG_BINPUT
+        if (!need(4)) return false;
+        i += 4;
+        break;
+      case 0x94:  // MEMOIZE
+      case 0x85:  // TUPLE1
+      case 0x86:  // TUPLE2
+      case 0x87:  // TUPLE3
+      case '(':   // MARK
+      case 't':   // TUPLE
+        break;
+      case '.':  // STOP: expect payload + a 2-4 int shape tuple
+        if (!out->payload || n_ints < 2 || n_ints > 4) return false;
+        out->n_shape = n_ints;
+        for (int k = 0; k < n_ints; ++k) out->shape[k] = ints[k];
+        return true;
+      default:
+        return false;  // unsupported opcode
+    }
+  }
+  return false;
+}
+
+enum TileStatus : uint8_t {
+  TILE_OK = 0,
+  TILE_MISSING = 1,
+  TILE_DECOMPRESS_FAIL = 2,
+  TILE_PARSE_FAIL = 3,
+  TILE_SHAPE_MISMATCH = 4,
+};
+
+// One tile: lookup -> decompress -> parse -> BGR->RGB into dst.
+TileStatus load_one_tile(const Reader* r, const uint8_t* key, int64_t klen,
+                         int64_t h, int64_t w, std::vector<uint8_t>& scratch,
+                         uint8_t* dst) {
+  const uint8_t* val;
+  int64_t vlen;
+  if (!lmdb_get(r, key, klen, &val, &vlen)) return TILE_MISSING;
+  const int64_t tile_bytes = h * w * 3;
+  if ((int64_t)scratch.size() < tile_bytes + 65536) scratch.resize(tile_bytes + 65536);
+  int64_t n = lz4f_decompress(val, vlen, scratch.data(), (int64_t)scratch.size());
+  if (n == -2) {  // oversized pickle (long name / padding): one growth retry
+    scratch.resize(2 * scratch.size() + (size_t)tile_bytes);
+    n = lz4f_decompress(val, vlen, scratch.data(), (int64_t)scratch.size());
+  }
+  if (n < 0) return TILE_DECOMPRESS_FAIL;
+  TilePickle t;
+  if (!parse_tile_pickle(scratch.data(), n, &t)) return TILE_PARSE_FAIL;
+  if (t.n_shape != 3 || t.shape[0] != h || t.shape[1] != w || t.shape[2] != 3 ||
+      t.payload_len != tile_bytes)
+    return TILE_SHAPE_MISMATCH;
+  const uint8_t* src = t.payload;
+  for (int64_t px = 0; px < tile_bytes; px += 3) {  // stored BGR -> RGB
+    dst[px] = src[px + 2];
+    dst[px + 1] = src[px + 1];
+    dst[px + 2] = src[px];
+  }
+  return TILE_OK;
+}
+
 }  // namespace
 
 // ===========================================================================
@@ -834,6 +1004,55 @@ int ts_lmdb_writer_put(void* h, const uint8_t* key, int64_t klen, const uint8_t*
   w->items.emplace_back(std::string((const char*)key, (size_t)klen),
                         std::string((const char*)val, (size_t)vlen));
   return 0;
+}
+
+// Bulk tile decode (the data-plane hot path): for each key, B+tree lookup ->
+// LZ4-frame decompress -> pickle payload/shape extract -> BGR->RGB into
+// dst[i] (h*w*3 bytes per tile), threaded across keys. keys are packed as
+// [u32 len][bytes]... (the ts_lmdb_keys wire format). status[i] gets a
+// TileStatus; returns the number of OK tiles, or -1 on malformed key packing.
+int64_t ts_lmdb_load_batch(void* h, const uint8_t* keys, int64_t keys_bytes,
+                           int64_t n_keys, int64_t height, int64_t width,
+                           uint8_t* dst, uint8_t* status, int nthreads) {
+  auto* r = (Reader*)h;
+  std::vector<std::pair<const uint8_t*, int64_t>> kv;
+  kv.reserve((size_t)n_keys);
+  int64_t off = 0;
+  for (int64_t i = 0; i < n_keys; ++i) {
+    if (off + 4 > keys_bytes) return -1;
+    uint32_t l = read_u32(keys + off);
+    off += 4;
+    if (off + (int64_t)l > keys_bytes) return -1;
+    kv.emplace_back(keys + off, (int64_t)l);
+    off += (int64_t)l;
+  }
+  const int64_t tile_bytes = height * width * 3;
+  int hw = (int)std::thread::hardware_concurrency();
+  int T = nthreads > 0 ? nthreads : (hw > 0 ? hw : 4);
+  if ((int64_t)T > n_keys) T = (int)n_keys;
+  if (T < 1) T = 1;
+  std::atomic<int64_t> n_ok{0};
+
+  auto worker = [&](int t) {
+    std::vector<uint8_t> scratch;
+    int64_t ok = 0;
+    for (int64_t i = t; i < n_keys; i += T) {
+      TileStatus s = load_one_tile(r, kv[(size_t)i].first, kv[(size_t)i].second,
+                                   height, width, scratch, dst + i * tile_bytes);
+      status[i] = (uint8_t)s;
+      if (s == TILE_OK) ++ok;
+    }
+    n_ok.fetch_add(ok, std::memory_order_relaxed);
+  };
+  if (T == 1) {
+    worker(0);
+  } else {
+    std::vector<std::thread> threads;
+    threads.reserve((size_t)T);
+    for (int t = 0; t < T; ++t) threads.emplace_back(worker, t);
+    for (auto& th : threads) th.join();
+  }
+  return n_ok.load();
 }
 
 int64_t ts_lmdb_writer_close(void* h) {

@@ -231,6 +231,16 @@ class StreamingPatchBatches:
             for i in chosen:
                 self._entries.append((path, keys[i], label, sid))
 
+        # sniff the tile shape once so every batch can go through the native
+        # fixed-shape bulk decoder (bounded scan; a corpus whose first 256
+        # sampled entries are all corrupt is not a usable corpus)
+        self._tile_hw: Optional[Tuple[int, int]] = None
+        for path, key, _, _ in self._entries[:256]:
+            img = self._stores[path].get_tile(key)
+            if img is not None and img.ndim == 3:
+                self._tile_hw = (img.shape[0], img.shape[1])
+                break
+
     def __len__(self):
         return -(-len(self._entries) // self.batch_size)
 
@@ -239,28 +249,52 @@ class StreamingPatchBatches:
             s.close()
         self._stores.clear()
 
+    #: forward-scan bound when replacing a corrupt entry (was: whole corpus)
+    _CORRUPT_SCAN_LIMIT = 1024
+
     def _make_batch(self, idx: np.ndarray) -> Dict[str, np.ndarray]:
-        imgs, labels, rna = [], [], []
-        for i in idx:
-            img = None
-            # corrupt entries: scan forward deterministically until one
-            # decodes (bounded; mirrors the reference's collate-filter intent)
-            for offset in range(len(self._entries)):
-                path, key, label, sid = self._entries[(i + offset) % len(self._entries)]
-                img = self._stores[path].get_tile(key)
-                if img is not None:
+        if self._tile_hw is None:
+            raise RuntimeError("no decodable tile found in the streaming index")
+        h, w = self._tile_hw
+        n = len(idx)
+        imgs = np.empty((n, h, w, 3), np.uint8)
+        chosen = [self._entries[i] for i in idx]
+
+        # group the batch by store and bulk-decode each group natively
+        by_store: Dict[str, List[int]] = {}
+        for pos in range(n):
+            by_store.setdefault(chosen[pos][0], []).append(pos)
+        failed: List[int] = []
+        for path, positions in by_store.items():
+            keys = [chosen[pos][1] for pos in positions]
+            tiles, ok = self._stores[path].load_tiles_fixed(keys, h, w)
+            for j, pos in enumerate(positions):
+                if ok[j]:
+                    imgs[pos] = tiles[j]
+                else:
+                    failed.append(pos)
+
+        # corrupt entries: bounded deterministic forward scan for a
+        # replacement (mirrors the reference's collate-filter intent)
+        for pos in failed:
+            for offset in range(1, min(len(self._entries), self._CORRUPT_SCAN_LIMIT) + 1):
+                cand = self._entries[(idx[pos] + offset) % len(self._entries)]
+                img = self._stores[cand[0]].get_tile(cand[1])
+                if img is not None and img.shape == (h, w, 3):
+                    imgs[pos] = img
+                    chosen[pos] = cand
                     break
-            if img is None:
-                raise RuntimeError("every tile in the streaming index is undecodable")
-            imgs.append(img)
-            labels.append(label)
-            if self.with_rna:
-                rna.append(self._rna_rows[sid])
-        batch = {"image": tiles_to_float(np.stack(imgs))}
+            else:
+                raise RuntimeError(
+                    f"no decodable tile within {self._CORRUPT_SCAN_LIMIT} entries "
+                    f"of index {idx[pos]}"
+                )
+
+        batch = {"image": tiles_to_float(imgs)}
         if self.with_rna:
-            batch["rna_data"] = np.stack(rna)
+            batch["rna_data"] = np.stack([self._rna_rows[c[3]] for c in chosen])
         if self.with_labels:
-            batch["labels"] = np.asarray(labels, np.int32)
+            batch["labels"] = np.asarray([c[2] for c in chosen], np.int32)
         return batch
 
     def epoch(self, epoch: int = 0) -> Iterator[Dict[str, np.ndarray]]:

@@ -64,6 +64,11 @@ def native_lib() -> ctypes.CDLL:
     lib.ts_lmdb_writer_put.argtypes = [ctypes.c_void_p, ctypes.c_char_p, ctypes.c_int64, ctypes.c_char_p, ctypes.c_int64]
     lib.ts_lmdb_writer_close.restype = ctypes.c_int64
     lib.ts_lmdb_writer_close.argtypes = [ctypes.c_void_p]
+    lib.ts_lmdb_load_batch.restype = ctypes.c_int64
+    lib.ts_lmdb_load_batch.argtypes = [
+        ctypes.c_void_p, ctypes.c_char_p, ctypes.c_int64, ctypes.c_int64,
+        ctypes.c_int64, ctypes.c_int64, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int,
+    ]
     _lib = lib
     return lib
 
@@ -184,19 +189,60 @@ class LMDBTileStore:
         raw = self.get_raw(key)
         return None if raw is None else deserialize_tile(raw)
 
+    def load_tiles_fixed(
+        self, keys: Sequence[bytes], height: int, width: int, nthreads: int = 0
+    ) -> Tuple[np.ndarray, np.ndarray]:
+        """Native bulk decode for a known tile shape: the whole batch —
+        B+tree lookup, LZ4-frame decompress, pickle payload extract, BGR->RGB
+        — runs threaded in C++ straight into one contiguous (N, H, W, 3)
+        uint8 array (``ts_lmdb_load_batch``). Entries the native pickle
+        scanner rejects (exotic protocols) fall back to Python
+        ``pickle.loads`` per entry. Returns (array, ok_mask); rows with
+        ``ok_mask == False`` are corrupt/missing/mis-shaped (the reference's
+        collate-filter contract, ``histopathology_gan.py:26-48``)."""
+        n = len(keys)
+        out = np.empty((n, height, width, 3), np.uint8)
+        if n == 0:
+            return out, np.zeros(0, bool)
+        packed = b"".join(
+            len(k).to_bytes(4, "little") + bytes(k) for k in keys
+        )
+        status = np.empty(n, np.uint8)
+        rc = self._lib.ts_lmdb_load_batch(
+            self._h, packed, len(packed), n, height, width,
+            out.ctypes.data_as(ctypes.c_void_p), status.ctypes.data_as(ctypes.c_void_p),
+            nthreads,
+        )
+        if rc < 0:
+            raise RuntimeError("ts_lmdb_load_batch: malformed key packing")
+        # status 3 = native pickle scanner gave up -> full Python unpickle
+        for i in np.flatnonzero(status == 3):
+            img = self.get_tile(keys[i])
+            if img is not None and img.shape == (height, width, 3):
+                out[i] = img
+                status[i] = 0
+        return out, status == 0
+
     def load_tiles(self, keys: Sequence[bytes]) -> Tuple[np.ndarray, List[bytes]]:
         """Bulk-decode tiles into one contiguous uint8 NHWC array, skipping
         corrupt entries (the collate-filter contract, reference
-        ``histopathology_gan.py:26-48``). Returns (array, kept_keys)."""
-        imgs, kept = [], []
+        ``histopathology_gan.py:26-48``). Returns (array, kept_keys).
+
+        The tile shape is sniffed from the first decodable entry, then the
+        whole batch goes through the native threaded path
+        (:meth:`load_tiles_fixed`)."""
+        keys = list(keys)
+        shape = None
         for k in keys:
             img = self.get_tile(k)
             if img is not None:
-                imgs.append(img)
-                kept.append(k)
-        if not imgs:
+                shape = img.shape
+                break
+        if shape is None:
             return np.zeros((0, 0, 0, 3), np.uint8), []
-        return np.stack(imgs), kept
+        tiles, ok = self.load_tiles_fixed(keys, shape[0], shape[1])
+        kept = [k for k, good in zip(keys, ok) if good]
+        return tiles[ok], kept
 
 
 class LMDBTileWriter:

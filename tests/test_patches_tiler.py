@@ -252,3 +252,36 @@ def test_load_bag_folder_reference_jpeg_layout(tmp_path, rng):
     tr = FusionTrainer(cfg, backbone=backbone, mesh=mesh)
     state, hist = tr.fit(bags)
     assert np.isfinite(hist["history"][0]["loss"])
+
+
+def test_streaming_corrupt_entry_replaced(tmp_path, rng):
+    """A corrupt tile must be replaced by a bounded forward scan, with the
+    replacement's own label/rna (not the corrupt entry's)."""
+    from rnagan_tpu.data.patches import StreamingPatchBatches
+    from rnagan_tpu.data.store import LMDBTileWriter
+
+    out_dir = str(tmp_path)
+    os.makedirs(os.path.join(out_dir, "SC"), exist_ok=True)
+    with LMDBTileWriter(slide_db_path(out_dir, "SC")) as w:
+        for i in range(5):
+            w.put_tile(f"p{i}", rng.randint(0, 255, (16, 16, 3), dtype=np.uint8))
+        w.put_raw(b"zz_bad", b"corrupt value")  # sorts last; sampled like a tile
+
+    # writer appends raw keys to __keys__? ensure the corrupt key is sampled:
+    df = pd.DataFrame([{"wsi_file_name": "SC", "patch_data_path": out_dir,
+                        "labels": 3, "rna_a": 9.0}])
+    stream = StreamingPatchBatches(df, batch_size=2, max_patches_total=100,
+                                   with_rna=True, with_labels=True)
+    # force the corrupt key into the index regardless of __keys__ contents
+    if not any(e[1] == b"zz_bad" for e in stream._entries):
+        path, _, label, sid = stream._entries[0]
+        stream._entries.append((path, b"zz_bad", label, sid))
+    n_batches = -(-len(stream._entries) // 2)
+    seen = 0
+    for b in stream.epoch(0):
+        assert b["image"].shape[0] == 2
+        assert np.isfinite(b["image"]).all()
+        np.testing.assert_allclose(b["rna_data"][:, 0], 9.0)
+        seen += 1
+    assert seen == n_batches
+    stream.close()

@@ -162,3 +162,83 @@ def test_lmdb_reader_survives_truncation(tmp_path, rng):
             assert store.get_tile(b"0") is None or True  # no crash is the contract
     except IOError:
         pass  # refusing to open a torn file is also acceptable
+
+
+# --------------------------------------------------------------- bulk decode
+
+
+def _write_store(path, tiles, extra_raw=None):
+    with LMDBTileWriter(path) as w:
+        for i, t in enumerate(tiles):
+            w.put_tile(f"s_patch_{i}", t)
+        for k, v in (extra_raw or {}).items():
+            w.put_raw(k, v)
+
+
+def test_load_tiles_fixed_native_batch(tmp_path, rng):
+    """The threaded native path must reproduce the per-tile Python decode
+    bit-for-bit (incl. the BGR->RGB swap) for every pickle our writer emits."""
+    path = str(tmp_path / "bulk.db")
+    tiles = [rng.randint(0, 256, (48, 48, 3), dtype=np.uint8) for _ in range(40)]
+    _write_store(path, tiles)
+    with LMDBTileStore(path) as store:
+        keys = store.keys()
+        arr, ok = store.load_tiles_fixed(keys, 48, 48)
+        assert ok.all() and arr.shape == (40, 48, 48, 3)
+        for i in (0, 13, 39):
+            np.testing.assert_array_equal(arr[i], tiles[i][..., ::-1])
+            np.testing.assert_array_equal(arr[i], store.get_tile(keys[i]))
+
+
+def test_load_tiles_fixed_statuses(tmp_path, rng):
+    """Missing keys, undecompressable values, and shape mismatches must be
+    flagged per entry, not poison the batch."""
+    path = str(tmp_path / "mixed.db")
+    good = rng.randint(0, 256, (16, 16, 3), dtype=np.uint8)
+    small = rng.randint(0, 256, (8, 8, 3), dtype=np.uint8)
+    _write_store(path, [good, small], extra_raw={b"corrupt": b"not lz4 at all"})
+    with LMDBTileStore(path) as store:
+        keys = [b"0", b"1", b"corrupt", b"absent"]
+        arr, ok = store.load_tiles_fixed(keys, 16, 16)
+        assert list(ok) == [True, False, False, False]
+        np.testing.assert_array_equal(arr[0], good[..., ::-1])
+
+
+def test_load_tiles_fixed_protocol_fallback(tmp_path, rng):
+    """Pickle protocols the native scanner does not parse (e.g. protocol 0
+    text pickles) must fall back to Python pickle.loads and still decode."""
+    from rnagan_tpu.data.store import lz4f_compress
+
+    path = str(tmp_path / "proto.db")
+    img = rng.randint(0, 256, (16, 16, 3), dtype=np.uint8)
+    legacy = lz4f_compress(
+        pickle.dumps(("name", img.tobytes(), img.shape), protocol=0)
+    )
+    _write_store(path, [img], extra_raw={b"legacy": legacy})
+    with LMDBTileStore(path) as store:
+        arr, ok = store.load_tiles_fixed([b"0", b"legacy"], 16, 16)
+        assert ok.all()
+        np.testing.assert_array_equal(arr[0], img[..., ::-1])
+        np.testing.assert_array_equal(arr[1], img[..., ::-1])
+
+
+def test_load_tiles_fixed_all_pickle_protocols(tmp_path, rng):
+    """Every binary pickle protocol (2-5) should parse natively; the
+    native scanner and the Python decoder must agree."""
+    from rnagan_tpu.data.store import lz4f_compress
+
+    path = str(tmp_path / "protocols.db")
+    img = rng.randint(0, 256, (300, 300, 3), dtype=np.uint8)  # dims need BININT2
+    extra = {
+        f"p{p}".encode(): lz4f_compress(
+            pickle.dumps((f"tile_{p}", img.tobytes(), img.shape), protocol=p)
+        )
+        for p in (2, 3, 4, 5)
+    }
+    _write_store(path, [], extra_raw=extra)
+    with LMDBTileStore(path) as store:
+        keys = sorted(extra)
+        arr, ok = store.load_tiles_fixed(keys, 300, 300)
+        assert ok.all()
+        for i in range(len(keys)):
+            np.testing.assert_array_equal(arr[i], img[..., ::-1])
