@@ -28,12 +28,84 @@ BASELINE_TILES_PER_SEC = 5000.0
 # 256 -> 25.7k tiles/s; 128 amortizes weight loads with headroom to spare
 BATCH = 128
 N_SHORT, N_LONG = 2, 12
+# peak dense bf16 matmul throughput per chip, for the MFU figure
+PEAK_FLOPS = {"TPU v5 lite": 197e12, "TPU v4": 275e12, "TPU v5p": 459e12}
+TRAIN_BATCHES = (8, 64)  # reference batch (histopathology_gan.py:94) + scaled
 
 try:
     jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 except Exception:
     pass
+
+
+def train_metrics() -> dict:
+    """wganvae training-step metrics on one chip: step time at the reference
+    batch (8) and a scaled batch (64), tiles/s, and MFU vs the chip's peak
+    bf16 matmul rate (flops per step from XLA's own cost analysis of the
+    compiled D+GP+G program; hot loop match: reference wgan_loss.py:82-389)."""
+    import numpy as np
+
+    from rnagan_tpu.core.config import GANConfig, GANModelConfig, VAEModelConfig
+    from rnagan_tpu.models.betavae import init_betavae
+    from rnagan_tpu.train.gan_trainer import GANTrainer
+
+    peak = next((v for k, v in PEAK_FLOPS.items()
+                 if k in jax.devices()[0].device_kind), None)
+    vae_cfg = VAEModelConfig(compute_dtype="bfloat16")
+    vae_vars = init_betavae(vae_cfg, jax.random.key(0))
+    rng = np.random.RandomState(0)
+    out = {}
+    for batch in TRAIN_BATCHES:
+        cfg = GANConfig(model=GANModelConfig(), loss_type="wganvae",
+                        batch_size=batch, vae=vae_cfg)
+        trainer = GANTrainer(cfg, vae_variables=vae_vars)
+        state = trainer.init_state()
+        bd = {
+            "image": jnp.asarray(rng.rand(batch, 256, 256, 3).astype(np.float32) * 2 - 1),
+            "rna_data": jnp.asarray(rng.randn(batch, vae_cfg.rna_features).astype(np.float32)),
+        }
+        step_impl = trainer._train_step_impl
+
+        # flops of ONE step, from the compiled program itself
+        compiled = jax.jit(step_impl).lower(state, bd, vae_vars).compile()
+        try:
+            ca = compiled.cost_analysis()
+            ca = ca[0] if isinstance(ca, list) else ca
+            step_flops = float(ca.get("flops", 0.0))
+        except Exception:
+            step_flops = 0.0
+
+        # timing: chained scan, differenced (constant RPC overhead cancels)
+        @partial(jax.jit, static_argnums=(1,))
+        def chain(state, n, vv, bd):
+            def body(s, _):
+                s2, m = step_impl(s, bd, vv)
+                return s2, m["d_loss"]
+
+            s, losses = jax.lax.scan(body, state, None, length=n)
+            return losses[-1]
+
+        def timed(n):
+            float(chain(state, n, vae_vars, bd))  # compile + warm
+            best = float("inf")
+            for _ in range(3):
+                t0 = time.perf_counter()
+                float(chain(state, n, vae_vars, bd))
+                best = min(best, time.perf_counter() - t0)
+            return best
+
+        t_short, t_long = timed(N_SHORT), timed(N_LONG)
+        if t_long <= t_short:
+            t_short, t_long = timed(N_SHORT), timed(N_LONG)
+        if t_long <= t_short:
+            continue  # noisy: skip this batch size rather than lie
+        step_s = (t_long - t_short) / (N_LONG - N_SHORT)
+        out[f"train_step_ms_b{batch}"] = round(step_s * 1000.0, 2)
+        out[f"train_tiles_per_sec_b{batch}"] = round(batch / step_s, 1)
+        if step_flops and peak:
+            out[f"train_mfu_b{batch}"] = round(step_flops / step_s / peak, 4)
+    return out
 
 
 def main():
@@ -91,16 +163,17 @@ def main():
     per_batch = (t_long - t_short) / (N_LONG - N_SHORT)
     tiles_per_sec = BATCH / per_batch
 
-    print(
-        json.dumps(
-            {
-                "metric": "rnagan_synthesis_throughput",
-                "value": round(tiles_per_sec, 2),
-                "unit": "tiles/sec/chip(256x256)",
-                "vs_baseline": round(tiles_per_sec / BASELINE_TILES_PER_SEC, 4),
-            }
-        )
-    )
+    record = {
+        "metric": "rnagan_synthesis_throughput",
+        "value": round(tiles_per_sec, 2),
+        "unit": "tiles/sec/chip(256x256)",
+        "vs_baseline": round(tiles_per_sec / BASELINE_TILES_PER_SEC, 4),
+    }
+    try:  # secondary metrics ride along in the same single JSON line
+        record.update(train_metrics())
+    except Exception as e:
+        record["train_metrics_error"] = f"{type(e).__name__}: {e}"
+    print(json.dumps(record))
 
 
 if __name__ == "__main__":

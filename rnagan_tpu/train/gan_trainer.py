@@ -405,12 +405,22 @@ class GANTrainer:
         num_epochs = num_epochs if num_epochs is not None else cfg.num_epochs
         timer = StepTimer()
         history = []
+        # per-step metrics stay on device and are fetched in chunks: a host
+        # sync every step stalls the dispatch pipeline (~0.5 s RPC per step on
+        # tunneled backends), while holding a whole reference-scale epoch
+        # (tens of thousands of tiny buffers) risks exhausting device arrays
+        fetch_chunk = 512
         for epoch in range(num_epochs):
-            # keep per-step metrics as device arrays and fetch ONCE per epoch:
-            # a host sync every step stalls the dispatch pipeline (and costs a
-            # ~0.5 s RPC per step on tunneled backends)
             pending = []
             count = 0
+            sums: Dict[str, float] = {}
+
+            def _drain(pending):
+                for metrics in jax.device_get(pending):
+                    for k, v in metrics.items():
+                        sums[k] = sums.get(k, 0.0) + float(v)
+                pending.clear()
+
             for batch in batches_per_epoch_fn(epoch):
                 sharded = shard_batch(batch, self.mesh)
                 timer.start()
@@ -418,11 +428,9 @@ class GANTrainer:
                 timer.stop(metrics["d_loss"])
                 pending.append(metrics)
                 count += 1
-            fetched = jax.device_get(pending)
-            sums: Dict[str, float] = {}
-            for metrics in fetched:
-                for k, v in metrics.items():
-                    sums[k] = sums.get(k, 0.0) + float(v)
+                if len(pending) >= fetch_chunk:
+                    _drain(pending)
+            _drain(pending)
             means = {k: v / max(count, 1) for k, v in sums.items()}
             means.update(timer.stats())
             if eval_fn is not None and eval_every and (epoch + 1) % eval_every == 0:

@@ -158,8 +158,19 @@ class VAETrainer:
     # ---------------------------------------------------------------- loops
     def _run_epoch(self, state, data: np.ndarray, *, train: bool, epoch: int):
         n_data = self.mesh.shape[self.cfg.mesh.data_axis]
+        # per-step metrics stay on device, fetched in bounded chunks (per-step
+        # syncs stall dispatch; holding a whole epoch of tiny buffers does not
+        # scale to reference-size corpora)
         pending = []
         count = 0
+        sums: Dict[str, float] = {}
+
+        def _drain():
+            for losses in jax.device_get(pending):
+                for k, v in losses.items():
+                    sums[k] = sums.get(k, 0.0) + float(v)
+            pending.clear()
+
         for batch, mask in batch_iterator(
             data,
             self.cfg.batch_size,
@@ -174,13 +185,11 @@ class VAETrainer:
             else:
                 key = self.keys.fold("eval", epoch * 100003 + count)
                 losses, _ = self._eval_step(state, sharded["x"], sharded["m"], key)
-            # defer host fetches to epoch end (per-step syncs stall dispatch)
             pending.append(losses)
             count += 1
-        sums: Dict[str, float] = {}
-        for losses in jax.device_get(pending):
-            for k, v in losses.items():
-                sums[k] = sums.get(k, 0.0) + float(v)
+            if len(pending) >= 512:
+                _drain()
+        _drain()
         means = {k: v / max(count, 1) for k, v in sums.items()}
         return state, means
 

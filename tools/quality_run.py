@@ -43,7 +43,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-try:
+try:  # noqa: E402 — cache config must precede first compile
     jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 except Exception:
@@ -74,7 +74,13 @@ def normalized_expression(corpus):
 
 
 def train_or_load_vae(args, expr_norm, workdir):
-    """Pre-train the beta-VAE on the corpus expression (cached across runs)."""
+    """Pre-train the beta-VAE on the corpus expression (cached across runs).
+
+    The whole expression matrix is tiny (n_slides x 19,198 floats ~ 15 MB),
+    so the ENTIRE pretrain lives on device: ``lax.scan`` over steps with
+    random-index batch gathers from the resident matrix — one dispatched
+    program per chunk of epochs instead of one RPC + 5 MB host transfer per
+    step (which on this tunneled backend costs more than the compute)."""
     from rnagan_tpu.core.checkpoint import load_bundle, save_bundle
     from rnagan_tpu.core.config import VAEConfig, VAEModelConfig
     from rnagan_tpu.train.vae_trainer import VAETrainer
@@ -90,15 +96,45 @@ def train_or_load_vae(args, expr_norm, workdir):
     trainer = VAETrainer(cfg)
     n = len(expr_norm)
     n_val = max(n // 5, 1)
+    train_dev = jnp.asarray(expr_norm[n_val:])
+    val_dev = jnp.asarray(expr_norm[:n_val])
+    batch = min(cfg.batch_size, len(expr_norm) - n_val)
+    steps_per_epoch = max((n - n_val) // batch, 1)
+    ones = jnp.ones((batch,), jnp.float32)
+
+    @partial(jax.jit, static_argnums=(2,), donate_argnums=(0,))
+    def run_epochs(state, key, n_steps):
+        def body(st, i):
+            idx = jax.random.randint(jax.random.fold_in(key, i), (batch,), 0, train_dev.shape[0])
+            st, losses = trainer._train_step_impl(st, train_dev[idx], ones)
+            return st, losses["total_loss"]
+
+        state, tl = jax.lax.scan(body, state, jnp.arange(n_steps))
+        # full-set val loss (no dropout/KL, reference betaVAE.py:151-155)
+        out, z_mean, z_logvar = trainer.model.apply(
+            {"params": state.params, "batch_stats": state.batch_stats},
+            val_dev, train=False, rngs={"reparam": key})
+        val = jnp.mean(jnp.square(out.astype(jnp.float32) - val_dev))
+        return state, jnp.mean(tl), val
+
+    state = trainer.init_state()
     t0 = time.time()
-    state, results = trainer.fit(expr_norm[n_val:], expr_norm[:n_val])
-    print(f"[vae] {args.vae_epochs} epochs in {time.time() - t0:.0f}s "
-          f"best val {results['best_loss']['total_loss']:.4f} @ {results['best_epoch']}",
-          flush=True)
-    variables = {"params": jax.device_get(state.params),
-                 "batch_stats": jax.device_get(state.batch_stats)}
-    save_bundle(path, variables, {"epochs": args.vae_epochs})
-    return variables, model_cfg
+    chunk_epochs = 25
+    best_val, best_vars = float("inf"), None
+    for start in range(0, args.vae_epochs, chunk_epochs):
+        n_ep = min(chunk_epochs, args.vae_epochs - start)
+        key = jax.random.fold_in(jax.random.key(7), start)
+        state, tl, val = run_epochs(state, key, n_ep * steps_per_epoch)
+        tl, val = float(tl), float(val)
+        print(f"[vae] epoch {start + n_ep}/{args.vae_epochs} train {tl:.4f} "
+              f"val_recons {val:.4f} ({time.time() - t0:.0f}s)", flush=True)
+        if val < best_val:
+            best_val = val
+            best_vars = {"params": jax.device_get(state.params),
+                         "batch_stats": jax.device_get(state.batch_stats)}
+    print(f"[vae] done in {time.time() - t0:.0f}s best val_recons {best_val:.4f}", flush=True)
+    save_bundle(path, best_vars, {"epochs": args.vae_epochs, "val_recons": best_val})
+    return best_vars, model_cfg
 
 
 def make_epoch_program(trainer, corpus, expr_norm, batch):
@@ -142,17 +178,54 @@ def make_fid_probe(trainer, corpus, expr_norm, args):
     both sides — still a Frechet distance in a fixed feature space, just
     well-conditioned. The split-half real-vs-real FID is recorded as the
     noise floor for reading the curves."""
-    import jax.numpy as _jnp
-
+    from rnagan_tpu.data.synthetic import render_batch
     from rnagan_tpu.eval.fid import InceptionExtractor, calculate_frechet_distance
     from rnagan_tpu.losses.rna_infusion import encode_z_mean, infused_noise
 
-    extractor = InceptionExtractor(seed=0, dtype=_jnp.float32)
-    real = corpus.real_tiles(args.fid_n)
-    acts_r = extractor(real, args.fid_batch)
+    extractor = InceptionExtractor(seed=0, dtype=jnp.float32)
+    chunk = min(64, args.fid_n)
+    expr_dev = jnp.asarray(expr_norm) if trainer.cfg.loss_type == "wganvae" else None
+    dims = trainer.cfg.model.encoding_dims
+    tps = corpus.tiles_per_slide
+
+    # everything stays on device; only (chunk, 2048) activations cross the
+    # tunnel (a full image fetch would be ~400 MB per probe on this backend)
+    @jax.jit
+    def real_acts_chunk(key, i0):
+        sl = jax.random.randint(key, (chunk,), 0, corpus.n_slides)
+        ti = tps + ((i0 + jnp.arange(chunk)) % 64)  # held-out tile indices
+        imgs = render_batch(corpus._render_key, corpus.slides.s[sl],
+                            ti + sl * tps, corpus.size)
+        return extractor._features(extractor.variables, (imgs + 1.0) * 0.5)
+
+    def fake_images(state, key, vae_vars):
+        if expr_dev is not None:
+            sl = jax.random.randint(jax.random.fold_in(key, 1), (chunk,), 0, corpus.n_slides)
+            z_mean = encode_z_mean(trainer.vae, vae_vars, expr_dev[sl])
+            noise = infused_noise(jax.random.fold_in(key, 2), z_mean, trainer.cfg.noise_range)
+        else:
+            noise = jax.random.normal(key, (chunk, dims), jnp.float32)
+        imgs = trainer.generator.apply(
+            {"params": state.g_params, "batch_stats": state.g_stats},
+            noise, labels=None, train=False)
+        return jnp.clip((imgs.astype(jnp.float32) + 1.0) * 0.5, 0.0, 1.0)
+
+    @jax.jit
+    def fake_acts_chunk(state, key, vae_vars):
+        return extractor._features(extractor.variables, fake_images(state, key, vae_vars))
+
+    @jax.jit
+    def fake_grid_chunk(state, key, vae_vars):  # uint8 on device: 4x smaller fetch
+        return (fake_images(state, key, vae_vars) * 255.0 + 0.5).astype(jnp.uint8)
+
+    acts_r = np.concatenate([
+        np.asarray(real_acts_chunk(jax.random.fold_in(jax.random.key(7117), i), i))
+        for i in range(0, args.fid_n, chunk)
+    ])[: args.fid_n]
+    # random-init features are ~1e-4 scale: whiten with the real set's
+    # per-dimension stats (one fixed affine map, applied to both sides)
     w_mu = acts_r.mean(axis=0)
     w_sd = acts_r.std(axis=0) + 1e-8
-    del real
 
     def stats(acts):
         white = (acts - w_mu) / w_sd
@@ -164,33 +237,25 @@ def make_fid_probe(trainer, corpus, expr_norm, args):
     mu_b, s_b = stats(acts_r[half:])
     floor = calculate_frechet_distance(mu_a, s_a, mu_b, s_b)
     del acts_r
-    gen_batch = min(64, args.fid_n)
-    expr_dev = jnp.asarray(expr_norm) if trainer.cfg.loss_type == "wganvae" else None
-    dims = trainer.cfg.model.encoding_dims
-
-    @jax.jit
-    def gen_chunk(state, key, vae_vars):
-        if expr_dev is not None:
-            sl = jax.random.randint(jax.random.fold_in(key, 1), (gen_batch,), 0, corpus.n_slides)
-            z_mean = encode_z_mean(trainer.vae, vae_vars, expr_dev[sl])
-            noise = infused_noise(jax.random.fold_in(key, 2), z_mean, trainer.cfg.noise_range)
-        else:
-            noise = jax.random.normal(key, (gen_batch, dims), jnp.float32)
-        imgs = trainer.generator.apply(
-            {"params": state.g_params, "batch_stats": state.g_stats},
-            noise, labels=None, train=False)
-        return jnp.clip((imgs.astype(jnp.float32) + 1.0) * 0.5, 0.0, 1.0)
 
     def probe(state, epoch):
-        fakes = []
-        for i in range(0, args.fid_n, gen_batch):
-            k = jax.random.fold_in(jax.random.key(4242 + epoch), i)
-            fakes.append(np.asarray(gen_chunk(state, k, trainer.vae_variables)))
-        fake = np.concatenate(fakes)[: args.fid_n]
-        mu_f, s_f = stats(extractor(fake, args.fid_batch))
+        acts = np.concatenate([
+            np.asarray(fake_acts_chunk(
+                state, jax.random.fold_in(jax.random.key(4242 + epoch), i),
+                trainer.vae_variables))
+            for i in range(0, args.fid_n, chunk)
+        ])[: args.fid_n]
+        mu_f, s_f = stats(acts)
         return calculate_frechet_distance(mu_r, s_r, mu_f, s_f)
 
+    def sample_grid(state, path, epoch):
+        imgs = np.asarray(fake_grid_chunk(
+            state, jax.random.fold_in(jax.random.key(31337), epoch), trainer.vae_variables))
+        from rnagan_tpu.utils.images import save_image_grid
+        save_image_grid(imgs[:64], path, nrow=8)
+
     probe.floor = floor
+    probe.sample_grid = sample_grid
     return probe
 
 
@@ -224,8 +289,10 @@ def main():
     from rnagan_tpu.core.config import GANConfig, GANModelConfig, VAEModelConfig
     from rnagan_tpu.train.gan_trainer import GANTrainer
 
+    t0 = time.time()
     corpus = build_corpus(args)
     expr_norm, _scaler = normalized_expression(corpus)
+    print(f"[setup] corpus + normalization {time.time() - t0:.0f}s", flush=True)
 
     vae_vars = None
     vae_cfg = VAEModelConfig(rna_features=args.genes, compute_dtype="bfloat16")
@@ -247,7 +314,9 @@ def main():
 
     steps_per_epoch = max((args.slides * args.tiles_per_slide) // args.batch, 1)
     run_epoch = make_epoch_program(trainer, corpus, expr_norm, args.batch)
+    t0 = time.time()
     probe = make_fid_probe(trainer, corpus, expr_norm, args)
+    print(f"[setup] FID probe (incl. real-set activations) {time.time() - t0:.0f}s", flush=True)
 
     ckpt = os.path.join(args.workdir, f"{args.loss_type}_last.model")
     history, start_epoch = [], 0
@@ -260,6 +329,14 @@ def main():
         print(f"[resume] epoch {start_epoch} from {ckpt}", flush=True)
     else:
         state = trainer.init_state()
+
+    if start_epoch == 0:  # one-time reference grid of held-out real tiles
+        from rnagan_tpu.utils.images import save_image_grid
+        n_grid = min(64, args.slides)
+        sl = jnp.arange(n_grid, dtype=jnp.int32) % args.slides
+        ti = jnp.full((n_grid,), args.tiles_per_slide, jnp.int32)  # held-out index
+        real_imgs = np.asarray(corpus.render(sl, ti))
+        save_image_grid(real_imgs, os.path.join(args.workdir, "grids", "real.png"), nrow=8)
 
     meta = {"loss_type": args.loss_type, "slides": args.slides,
             "tiles_per_slide": args.tiles_per_slide, "batch": args.batch,
@@ -289,6 +366,8 @@ def main():
             json.dump({"meta": meta, "history": history}, f, indent=1)
         if (epoch + 1) % args.save_every == 0 or epoch == args.epochs - 1:
             trainer.save_model(state, ckpt, {"epoch": epoch})
+            probe.sample_grid(state, os.path.join(
+                args.workdir, "grids", f"{args.loss_type}_epoch{epoch:03d}.png"), epoch)
     print(f"[done] {out_path}", flush=True)
 
 
