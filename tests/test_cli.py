@@ -280,3 +280,27 @@ def test_ml_experiment_cli(workspace, tmp_path):
     ])
     assert 0.0 <= results["mean_accuracy"] <= 1.0
     assert os.path.exists(tmp_path / "exp.pkl")
+
+
+def test_metrics_viewer_cli(tmp_path, capsys):
+    """JSONL viewer: summary, tag table, metric sparkline + PNG export, and
+    tolerance of torn tail lines from live runs."""
+    import json
+
+    from rnagan_tpu.cli import metrics as metrics_cli
+
+    path = str(tmp_path / "run.jsonl")
+    with open(path, "w") as f:
+        for i in range(10):
+            f.write(json.dumps({"tag": "gan", "step": i, "t": float(i),
+                                "d_loss": -float(i), "fid": 100.0 - i}) + "\n")
+        f.write("{torn")
+    assert metrics_cli.main([path]) == 0
+    assert "gan" in capsys.readouterr().out
+    assert metrics_cli.main([path, "--tag", "gan", "--last", "2"]) == 0
+    assert "d_loss" in capsys.readouterr().out
+    png = str(tmp_path / "fid.png")
+    assert metrics_cli.main([path, "--tag", "gan", "--metric", "fid", "--png", png]) == 0
+    out = capsys.readouterr().out
+    assert "min=91" in out and os.path.exists(png)
+    assert metrics_cli.main([path, "--tag", "nope"]) == 1
