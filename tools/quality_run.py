@@ -73,32 +73,31 @@ def normalized_expression(corpus):
     return scaler.transform(logged).astype(np.float32), scaler
 
 
-def train_or_load_vae(args, expr_norm, workdir):
-    """Pre-train the beta-VAE on the corpus expression (cached across runs).
+def train_vae(args, expr_norm):
+    """Pre-train the beta-VAE on the corpus expression.
 
     The whole expression matrix is tiny (n_slides x 19,198 floats ~ 15 MB),
     so the ENTIRE pretrain lives on device: ``lax.scan`` over steps with
     random-index batch gathers from the resident matrix — one dispatched
     program per chunk of epochs instead of one RPC + 5 MB host transfer per
-    step (which on this tunneled backend costs more than the compute)."""
-    from rnagan_tpu.core.checkpoint import load_bundle, save_bundle
+    step (which on this tunneled backend costs more than the compute).
+
+    No host round-trips anywhere: best-on-val state is kept as a DEVICE copy
+    (this backend moves device->host at ~7 MB/s — one fetch of the 1.2 GB
+    parameter tree costs more than the whole retrain), and no disk cache:
+    the pretrain is deterministic in (corpus seed, key), so a resumed run
+    rebuilds the identical VAE faster than it could load one."""
     from rnagan_tpu.core.config import VAEConfig, VAEModelConfig
     from rnagan_tpu.train.vae_trainer import VAETrainer
 
-    path = os.path.join(workdir, "vae_synth.model")
     model_cfg = VAEModelConfig(rna_features=expr_norm.shape[1], compute_dtype="bfloat16")
-    if os.path.exists(path):
-        trees, _ = load_bundle(path)
-        print(f"[vae] loaded cached {path}", flush=True)
-        return {"params": trees["params"], "batch_stats": trees["batch_stats"]}, model_cfg
-
     cfg = VAEConfig(model=model_cfg, num_epochs=args.vae_epochs, batch_size=64)
     trainer = VAETrainer(cfg)
     n = len(expr_norm)
     n_val = max(n // 5, 1)
     train_dev = jnp.asarray(expr_norm[n_val:])
     val_dev = jnp.asarray(expr_norm[:n_val])
-    batch = min(cfg.batch_size, len(expr_norm) - n_val)
+    batch = min(cfg.batch_size, n - n_val)
     steps_per_epoch = max((n - n_val) // batch, 1)
     ones = jnp.ones((batch,), jnp.float32)
 
@@ -111,11 +110,16 @@ def train_or_load_vae(args, expr_norm, workdir):
 
         state, tl = jax.lax.scan(body, state, jnp.arange(n_steps))
         # full-set val loss (no dropout/KL, reference betaVAE.py:151-155)
-        out, z_mean, z_logvar = trainer.model.apply(
+        out, _, _ = trainer.model.apply(
             {"params": state.params, "batch_stats": state.batch_stats},
             val_dev, train=False, rngs={"reparam": key})
         val = jnp.mean(jnp.square(out.astype(jnp.float32) - val_dev))
         return state, jnp.mean(tl), val
+
+    @jax.jit
+    def snapshot(state):  # device-side copy; no host traffic
+        return jax.tree_util.tree_map(
+            jnp.copy, {"params": state.params, "batch_stats": state.batch_stats})
 
     state = trainer.init_state()
     t0 = time.time()
@@ -125,15 +129,13 @@ def train_or_load_vae(args, expr_norm, workdir):
         n_ep = min(chunk_epochs, args.vae_epochs - start)
         key = jax.random.fold_in(jax.random.key(7), start)
         state, tl, val = run_epochs(state, key, n_ep * steps_per_epoch)
-        tl, val = float(tl), float(val)
+        tl, val = float(tl), float(val)  # 2-float fetch; ends the chunk
         print(f"[vae] epoch {start + n_ep}/{args.vae_epochs} train {tl:.4f} "
               f"val_recons {val:.4f} ({time.time() - t0:.0f}s)", flush=True)
         if val < best_val:
             best_val = val
-            best_vars = {"params": jax.device_get(state.params),
-                         "batch_stats": jax.device_get(state.batch_stats)}
+            best_vars = snapshot(state)
     print(f"[vae] done in {time.time() - t0:.0f}s best val_recons {best_val:.4f}", flush=True)
-    save_bundle(path, best_vars, {"epochs": args.vae_epochs, "val_recons": best_val})
     return best_vars, model_cfg
 
 
@@ -273,6 +275,8 @@ def main():
     p.add_argument("--fid_n", type=int, default=512)
     p.add_argument("--fid_batch", type=int, default=64)
     p.add_argument("--fid_every", type=int, default=1)
+    p.add_argument("--steps_per_dispatch", type=int, default=500,
+                   help="max scanned steps per device execution (tunnel deadline)")
     p.add_argument("--save_every", type=int, default=5)
     p.add_argument("--workdir", default="runs/quality")
     p.add_argument("--out", default=None)
@@ -304,7 +308,7 @@ def main():
                                      compute_dtype="bfloat16")
             vae_vars = init_betavae(vae_cfg, jax.random.key(0))
         else:
-            vae_vars, vae_cfg = train_or_load_vae(args, expr_norm, args.workdir)
+            vae_vars, vae_cfg = train_vae(args, expr_norm)
 
     model_cfg = GANModelConfig(out_size=args.size,
                                encoding_dims=vae_cfg.z_dim if args.loss_type == "wganvae" else 2048)
@@ -324,8 +328,11 @@ def main():
         state = trainer.load_model(ckpt)
         with open(out_path) as f:
             prev = json.load(f)
-        history = prev["history"]
-        start_epoch = len(history)
+        # the checkpoint may lag the history (saves every save_every epochs):
+        # resume from the checkpointed step, discarding newer history rows
+        epochs_done = int(jax.device_get(state.step)) // steps_per_epoch
+        history = prev["history"][:epochs_done]
+        start_epoch = epochs_done
         print(f"[resume] epoch {start_epoch} from {ckpt}", flush=True)
     else:
         state = trainer.init_state()
@@ -346,11 +353,26 @@ def main():
             "device": str(jax.devices()[0])}
     print(f"[run] {meta}", flush=True)
 
+    # one epoch = several scanned dispatches: a single execution covering the
+    # whole epoch (~3 min) crashes the tunneled TPU worker (per-execution
+    # deadline); chunks of <=steps_per_dispatch keep each execute ~30 s while
+    # the dispatches still pipeline back-to-back on device
     for epoch in range(start_epoch, args.epochs):
         t0 = time.time()
         key = jax.random.fold_in(jax.random.key(cfg.seed), 1000 + epoch)
-        state, losses = run_epoch(state, key, steps_per_epoch, trainer.vae_variables)
-        losses = np.asarray(losses)  # blocking fetch ends the epoch's pipeline
+        chunk_losses, chunk_steps = [], []
+        done = 0
+        ci = 0
+        while done < steps_per_epoch:
+            n = min(args.steps_per_dispatch, steps_per_epoch - done)
+            state, losses = run_epoch(state, jax.random.fold_in(key, ci),
+                                      n, trainer.vae_variables)
+            chunk_losses.append(losses)
+            chunk_steps.append(n)
+            done += n
+            ci += 1
+        fetched = np.stack(jax.device_get(chunk_losses))  # blocking fetch
+        losses = (fetched * np.asarray(chunk_steps)[:, None]).sum(0) / steps_per_epoch
         train_s = time.time() - t0
         rec = {"epoch": epoch, "d_loss": float(losses[0]), "g_loss": float(losses[1]),
                "gp": float(losses[2]), "train_s": round(train_s, 2),
@@ -365,9 +387,12 @@ def main():
         with open(out_path, "w") as f:
             json.dump({"meta": meta, "history": history}, f, indent=1)
         if (epoch + 1) % args.save_every == 0 or epoch == args.epochs - 1:
-            trainer.save_model(state, ckpt, {"epoch": epoch})
+            # async: the ~2.7 GB G+D+optimizer fetch (~7 MB/s on this tunnel)
+            # overlaps the next epochs' training instead of stalling them
+            trainer.save_model(state, ckpt, {"epoch": epoch}, async_=True)
             probe.sample_grid(state, os.path.join(
                 args.workdir, "grids", f"{args.loss_type}_epoch{epoch:03d}.png"), epoch)
+    trainer._saver.wait()
     print(f"[done] {out_path}", flush=True)
 
 
