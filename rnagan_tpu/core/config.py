@@ -120,6 +120,11 @@ class GANConfig:
     #: (wgan_loss.py:43), plus separate D-loss and GP optimizer steps as
     #: torchgan's Trainer runs each loss's train_ops independently.
     compat_reference_gp: bool = False
+    #: performance mode: evaluate D on real and fake as ONE concatenated
+    #: 2B batch in the critic loss (fewer launches, better MXU utilization).
+    #: With batchnorm in D this changes which samples the batch statistics
+    #: see (combined vs per-pass) — exactly equivalent when batchnorm=False.
+    fused_critic_batch: bool = False
     sample_size: int = 64  # per-epoch sample grid (histopathology_gan.py:300)
     seed: int = 99
     mesh: MeshConfig = field(default_factory=MeshConfig)

@@ -205,8 +205,20 @@ class GANTrainer:
             interp = eps * real + (1.0 - eps) * fake_d
 
         def d_loss_fn(p):
-            dx, s1 = self._d_apply(p, d_stats, real, labels)
-            dgz, s2 = self._d_apply(p, s1, fake_d, labels)
+            if cfg.fused_critic_batch:
+                # ONE 2B-batch D pass instead of two B-batch passes: fewer
+                # kernel launches and better MXU utilization at small batch.
+                # NOTE with batchnorm this computes batch stats over the
+                # combined real+fake batch (the reference computes them
+                # separately per pass) — exact equivalence holds only for
+                # batchnorm-free discriminators (tested); opt-in via config.
+                both = jnp.concatenate([real, fake_d], axis=0)
+                lab2 = None if labels is None else jnp.concatenate([labels, labels], axis=0)
+                out, s2 = self._d_apply(p, d_stats, both, lab2)
+                dx, dgz = out[: real.shape[0]], out[real.shape[0]:]
+            else:
+                dx, s1 = self._d_apply(p, d_stats, real, labels)
+                dgz, s2 = self._d_apply(p, s1, fake_d, labels)
             if loss_type in ("wgan", "wganvae"):
                 loss = gan_losses.wasserstein_discriminator_loss(dx, dgz)
             elif loss_type == "minimax":

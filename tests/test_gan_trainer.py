@@ -140,3 +140,35 @@ def test_fit_eval_callback():
     assert seen == [1]
     assert "probe_mean" in results["history"][1]
     assert "probe_mean" not in results["history"][0]
+
+
+def test_fused_critic_batch_equivalence():
+    """With a batchnorm-free discriminator, evaluating D on [real; fake] as
+    one concatenated batch must reproduce the separate-pass step exactly
+    (same update, same metrics) — the fused path is pure utilization."""
+    import jax
+    import numpy as np
+
+    from rnagan_tpu.core.config import GANConfig, GANModelConfig
+
+    rng = np.random.RandomState(3)
+    batch = {"image": rng.rand(6, 32, 32, 3).astype(np.float32) * 2 - 1}
+    states, metrics = [], []
+    for fused in (False, True):
+        cfg = GANConfig(
+            model=GANModelConfig(out_size=32, step_channels=8, encoding_dims=16,
+                                 batchnorm=False, compute_dtype="float32"),
+            loss_type="wgan", batch_size=6, fused_critic_batch=fused)
+        tr = GANTrainer(cfg)
+        state = tr.init_state()
+        state, m = tr._train_step(state, batch, None)
+        states.append(jax.device_get(state))
+        metrics.append(jax.device_get(m))
+    for k in metrics[0]:
+        np.testing.assert_allclose(metrics[0][k], metrics[1][k], rtol=1e-5, atol=1e-6)
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-6),
+        states[0].d_params, states[1].d_params)
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-6),
+        states[0].g_params, states[1].g_params)
