@@ -163,12 +163,54 @@ def main():
     per_batch = (t_long - t_short) / (N_LONG - N_SHORT)
     tiles_per_sec = BATCH / per_batch
 
+    # the RECOMMENDED egress configuration (make_serving_fn: BN-folded
+    # generator + fused tanh->uint8 Pallas epilogue), same infusion pipeline —
+    # so the benched number and the shipped serving path are the same code
+    from rnagan_tpu.eval.serving import make_serving_fn
+
+    serve_fn = make_serving_fn(model_cfg, gv["params"], gv["batch_stats"], uint8_output=True)
+
+    @partial(jax.jit, static_argnums=(3,))
+    def chained_serve(vae_variables, g_unused, gene, n_iters, key):
+        def body(carry, i):
+            z_mean = encode_z_mean(vae, vae_variables, gene + carry * 1e-6)
+            u = jax.random.uniform(
+                jax.random.fold_in(key, i), (BATCH, model_cfg.encoding_dims), jnp.float32, -0.3, 0.3
+            )
+            noise = standardize_batch(u + z_mean)
+            img = serve_fn(noise)
+            return jnp.mean(img.astype(jnp.float32)), None
+
+        carry, _ = jax.lax.scan(body, jnp.float32(0), jnp.arange(n_iters))
+        return carry
+
+    def timed_serve(n):
+        float(chained_serve(vae_vars, None, gene, n, key))
+        best = float("inf")
+        for _ in range(4):
+            t0 = time.perf_counter()
+            float(chained_serve(vae_vars, None, gene, n, key))
+            best = min(best, time.perf_counter() - t0)
+        return best
+
+    serve_tps = None
+    try:
+        ts, tl = timed_serve(N_SHORT), timed_serve(N_LONG)
+        if tl <= ts:
+            ts, tl = timed_serve(N_SHORT), timed_serve(N_LONG)
+        if tl > ts:
+            serve_tps = BATCH / ((tl - ts) / (N_LONG - N_SHORT))
+    except Exception:
+        pass  # secondary metric: never take down the headline
+
     record = {
         "metric": "rnagan_synthesis_throughput",
         "value": round(tiles_per_sec, 2),
         "unit": "tiles/sec/chip(256x256)",
         "vs_baseline": round(tiles_per_sec / BASELINE_TILES_PER_SEC, 4),
     }
+    if serve_tps is not None:
+        record["serve_uint8_tiles_per_sec"] = round(serve_tps, 2)
     try:  # secondary metrics ride along in the same single JSON line
         record.update(train_metrics())
     except Exception as e:

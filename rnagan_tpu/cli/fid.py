@@ -30,7 +30,8 @@ def build_parser():
     p.add_argument("--config", type=str, required=True)
     p.add_argument("--config2", type=str, default=None,
                    help="second dataset config for --patient2 (reference fid.py:296-301)")
-    p.add_argument("--checkpoint", type=str, required=True)
+    p.add_argument("--checkpoint", type=str, default=None,
+                   help="GAN checkpoint (required unless --real patient-vs-patient mode)")
     p.add_argument("--checkpoint2", type=str, default=None,
                    help="second GAN checkpoint: compare fake-vs-fake")
     p.add_argument("--vae", type=str, default=None)
@@ -94,13 +95,17 @@ def main(argv=None):
         print(f"FID: {fid:.4f} +/- 0.0000  (real-vs-real is deterministic)")
         return fid, 0.0
 
+    if not args.checkpoint:
+        raise SystemExit("--checkpoint is required except in --real patient-vs-patient mode")
     trainer, state = _load_trainer(cfg_json, args.checkpoint, args.vae, args)
 
     gene = None
+    real01 = None
     if args.patient1:
         real01, rna = _patient_real(cfg_json, args.patient1, args.num_images, args.seed, args.vae)
         gene = rna if args.vae else None
-    else:
+    elif not args.checkpoint2:
+        # fake-vs-fake never consumes the real set: skip the LMDB decode
         df = load_gan_dataframe(cfg_json)
         data = load_patch_data(df, max_patches_total=args.num_patches, seed=args.seed)
         real01 = data.images[: args.num_images].astype(np.float32) / 255.0

@@ -175,10 +175,16 @@ class SyntheticCorpus:
     """Reference-scale corpus facade: slides, expression CSV values, and
     on-device batch rendering for training + held-out 'real' tiles for FID."""
 
+    #: extra per-slide tile-id range reserved for held-out (FID "real") tiles;
+    #: per-slide id stride is tiles_per_slide + HELDOUT_SPAN so a held-out
+    #: index can never alias another slide's training-tile RNG key
+    HELDOUT_SPAN = 64
+
     def __init__(self, n_slides: int = 200, tiles_per_slide: int = 150,
                  n_genes: int = 19198, size: int = 256, seed: int = 0,
                  n_tissues: int = 2):
         self.n_slides, self.tiles_per_slide, self.size = n_slides, tiles_per_slide, size
+        self.id_stride = tiles_per_slide + self.HELDOUT_SPAN
         key = jax.random.key(seed)
         self.slides = sample_slides(jax.random.fold_in(key, 0), n_slides, n_tissues)
         self.gene_map = make_gene_map(jax.random.fold_in(key, 1), n_genes)
@@ -194,16 +200,23 @@ class SyntheticCorpus:
         return sl, ti
 
     def render(self, slide_ids: jax.Array, tile_ids: jax.Array):
-        """(B, size, size, 3) float32 in [-1, 1], deterministic per (slide, tile)."""
+        """(B, size, size, 3) float32 in [-1, 1], deterministic per
+        (slide, tile). Tile indices in [0, tiles_per_slide) are the training
+        corpus; [tiles_per_slide, tiles_per_slide + HELDOUT_SPAN) are held-out
+        — the per-slide ``id_stride`` keeps every (slide, tile) RNG key
+        globally unique, so held-out tiles share no random draws with ANY
+        training tile (a plain tiles_per_slide stride would alias a held-out
+        index onto the next slide's training keys)."""
         return render_batch(self._render_key, self.slides.s[slide_ids],
-                            tile_ids + slide_ids * self.tiles_per_slide, self.size)
+                            tile_ids + slide_ids * self.id_stride, self.size)
 
     def real_tiles(self, n: int, *, offset: int = 0, seed: int = 7) -> np.ndarray:
         """Held-out 'real' set for FID: round-robin slides, tile indices past
         the training range. Returns float [0, 1] NHWC on host."""
         rng = np.random.RandomState(seed)
         sl = jnp.asarray(rng.randint(0, self.n_slides, n), jnp.int32)
-        ti = jnp.asarray(self.tiles_per_slide + offset + np.arange(n) % 64, jnp.int32)
+        ti = jnp.asarray(self.tiles_per_slide + offset + np.arange(n) % self.HELDOUT_SPAN,
+                         jnp.int32)
         out = []
         for i in range(0, n, 64):
             out.append(np.asarray(self.render(sl[i:i + 64], ti[i:i + 64])))

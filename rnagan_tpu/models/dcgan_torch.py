@@ -236,6 +236,11 @@ def adam_state_from_dict(layout, params, template_opt_state, sd) -> Any:
     step = 0
     for i, (path, kind) in enumerate(order):
         entry = sd["state"].get(i, sd["state"].get(str(i)))
+        if entry is None:
+            # torch Adam state is lazily populated: a param that never saw a
+            # gradient (or a bundle saved pre-first-step) has no entry — its
+            # moments stay at the template zeros
+            continue
         conv = _FROM_TORCH[kind]
         step = int(np.asarray(entry["step"]))
         _tree_set(mu, path, conv(entry["exp_avg"]).astype(np.float32))

@@ -191,15 +191,20 @@ def test_fid_cli_fake_vs_fake(workspace):
 
 def test_fid_cli_real_vs_real(workspace):
     """--patient1 --patient2 --real: two patients' real tiles (reference
-    fid.py:325-327), second dataset via --config2 (fid.py:296-301)."""
+    fid.py:325-327), second dataset via --config2 (fid.py:296-301); no
+    checkpoint needed — nothing is generated in this mode."""
     mean, std = fid_cli.main([
         "--config", str(workspace / "gan.json"),
         "--config2", str(workspace / "gan.json"),
-        "--checkpoint", str(workspace / "gan_ckpt" / "gan_last.model"),
         "--patient1", "GTEX-T0-0000.svs", "--patient2", "GTEX-T1-0001.svs",
         "--real", "--num_images", "6", "--batch_size", "8",
     ])
     assert np.isfinite(mean) and std == 0.0
+
+    # any generating mode without --checkpoint must fail loudly
+    import pytest as _pytest
+    with _pytest.raises(SystemExit):
+        fid_cli.main(["--config", str(workspace / "gan.json"), "--num_images", "4"])
 
 
 def test_export_torch_cli_roundtrip(workspace, tmp_path):

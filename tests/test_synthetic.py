@@ -66,3 +66,14 @@ def test_real_tiles_disjoint_from_training_ids():
     real = corpus.real_tiles(8)
     assert real.shape == (8, 32, 32, 3)
     assert real.min() >= 0.0 and real.max() <= 1.0
+
+    # the RNG-key ids of held-out tiles must not collide with ANY slide's
+    # training-tile ids (a plain tiles_per_slide stride aliases held-out
+    # index tps+k of slide s onto training tile k of slide s+1)
+    import numpy as np
+
+    tps, span, stride = corpus.tiles_per_slide, corpus.HELDOUT_SPAN, corpus.id_stride
+    train_ids = {int(t + s * stride) for s in range(corpus.n_slides) for t in range(tps)}
+    held_ids = {int(tps + k + s * stride)
+                for s in range(corpus.n_slides) for k in range(span)}
+    assert not (train_ids & held_ids)

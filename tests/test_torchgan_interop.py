@@ -172,3 +172,30 @@ def test_bundle_export_import_roundtrip(trained_state, tmp_path):
     new_state, metrics = trainer._train_step(restored.replace(step=jnp.asarray(2, jnp.int32)),
                                              batch, None)
     assert np.isfinite(float(metrics["d_loss"]))
+
+
+def test_bundle_import_with_lazy_adam_state(trained_state, tmp_path):
+    """torch Adam populates per-param state lazily: a bundle saved before the
+    first optimizer step (or with params that never saw gradients) has a
+    partial/empty state dict — those params' moments stay at template zeros
+    instead of crashing the import."""
+    from rnagan_tpu.models.dcgan_torch import export_torchgan_bundle, import_torchgan_bundle
+
+    trainer, state = trained_state
+    path = str(tmp_path / "lazy.model")
+    export_torchgan_bundle(path, trainer.cfg, jax.device_get(state), epoch=0)
+
+    bundle = torch.load(path, map_location="cpu", weights_only=False)
+    # simulate lazily-unpopulated optimizer state for every other param
+    for opt_key in ("optimizer_generator", "optimizer_discriminator"):
+        st = bundle[opt_key]["state"]
+        for i in list(st):
+            if int(i) % 2 == 1:
+                del st[i]
+    torch.save(bundle, path)
+
+    template = trainer.init_state()
+    restored, _ = import_torchgan_bundle(path, trainer.cfg, template)
+    # present entries imported, absent ones remain zeros; nothing crashed
+    mu_leaves = jax.tree_util.tree_leaves(restored.g_opt)
+    assert all(np.isfinite(np.asarray(leaf, np.float32)).all() for leaf in mu_leaves)

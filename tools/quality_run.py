@@ -145,6 +145,7 @@ def make_epoch_program(trainer, corpus, expr_norm, batch):
     from rnagan_tpu.data.synthetic import render_batch
 
     n_slides, tps, size = corpus.n_slides, corpus.tiles_per_slide, corpus.size
+    stride = corpus.id_stride  # held-out-safe per-slide tile-id stride
     render_key = corpus._render_key
     slide_s = corpus.slides.s
     expr_dev = jnp.asarray(expr_norm) if trainer.cfg.loss_type == "wganvae" else None
@@ -156,7 +157,7 @@ def make_epoch_program(trainer, corpus, expr_norm, batch):
             ksl, kti = jax.random.split(k)
             sl = jax.random.randint(ksl, (batch,), 0, n_slides)
             ti = jax.random.randint(kti, (batch,), 0, tps)
-            imgs = render_batch(render_key, slide_s[sl], ti + sl * tps, size)
+            imgs = render_batch(render_key, slide_s[sl], ti + sl * stride, size)
             bd = {"image": imgs}
             if expr_dev is not None:
                 bd["rna_data"] = expr_dev[sl]
@@ -185,19 +186,21 @@ def make_fid_probe(trainer, corpus, expr_norm, args):
     from rnagan_tpu.losses.rna_infusion import encode_z_mean, infused_noise
 
     extractor = InceptionExtractor(seed=0, dtype=jnp.float32)
-    chunk = min(64, args.fid_n)
+    chunk = min(args.fid_batch, args.fid_n)
     expr_dev = jnp.asarray(expr_norm) if trainer.cfg.loss_type == "wganvae" else None
     dims = trainer.cfg.model.encoding_dims
     tps = corpus.tiles_per_slide
+    stride = corpus.id_stride
+    span = corpus.HELDOUT_SPAN
 
     # everything stays on device; only (chunk, 2048) activations cross the
     # tunnel (a full image fetch would be ~400 MB per probe on this backend)
     @jax.jit
     def real_acts_chunk(key, i0):
         sl = jax.random.randint(key, (chunk,), 0, corpus.n_slides)
-        ti = tps + ((i0 + jnp.arange(chunk)) % 64)  # held-out tile indices
+        ti = tps + ((i0 + jnp.arange(chunk)) % span)  # held-out tile indices
         imgs = render_batch(corpus._render_key, corpus.slides.s[sl],
-                            ti + sl * tps, corpus.size)
+                            ti + sl * stride, corpus.size)
         return extractor._features(extractor.variables, (imgs + 1.0) * 0.5)
 
     def fake_images(state, key, vae_vars):
