@@ -75,3 +75,64 @@ def test_quantized_serving_fn_accuracy(rng):
     # int8 head + downstream nonlinearity: small bounded deviation
     assert np.abs(got - ref).max() < 0.05
     assert np.corrcoef(got.ravel(), ref.ravel())[0, 1] > 0.999
+
+
+# ------------------------------------------------------------ full int8 stack
+
+
+def test_int8_full_stack_matches_f32_path():
+    """W8A8 generator vs the f32 lax path: per-layer per-tensor/per-channel
+    symmetric quantization must track the float output closely on realistic
+    (DCGAN-init) weights."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from rnagan_tpu.core.config import GANModelConfig
+    from rnagan_tpu.eval.serving import (dcgan_int8_apply, dcgan_lax_apply,
+                                         fold_generator, quantize_generator_params)
+    from rnagan_tpu.models.dcgan import init_gan
+
+    cfg = GANModelConfig(out_size=64, step_channels=16, encoding_dims=32,
+                         compute_dtype="float32")
+    gv, _ = init_gan(cfg, jax.random.key(0))
+    _, folded = fold_generator(cfg, gv["params"], gv["batch_stats"])
+    qparams = quantize_generator_params(cfg, folded["params"])
+
+    noise = jax.random.normal(jax.random.key(1), (4, 32), jnp.float32)
+    ref = np.asarray(dcgan_lax_apply(cfg, folded["params"], noise))
+    q = np.asarray(dcgan_int8_apply(cfg, qparams, noise))
+    assert ref.shape == q.shape == (4, 64, 64, 3)
+    corr = np.corrcoef(ref.ravel(), q.ravel())[0, 1]
+    assert corr > 0.995, corr
+    # bounded error in tanh output space (images in [-1, 1])
+    assert np.mean(np.abs(ref - q)) < 0.02, np.mean(np.abs(ref - q))
+    assert np.max(np.abs(ref - q)) < 0.25, np.max(np.abs(ref - q))
+
+
+def test_int8_serving_fn_wiring():
+    """make_serving_fn(quantized_full=True) builds and runs (f32 egress on
+    CPU; the uint8 Pallas epilogue is TPU-only)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    import pytest
+
+    from rnagan_tpu.core.config import GANModelConfig
+    from rnagan_tpu.eval.serving import make_serving_fn
+    from rnagan_tpu.models.dcgan import init_gan
+
+    cfg = GANModelConfig(out_size=32, step_channels=8, encoding_dims=16,
+                         compute_dtype="float32")
+    gv, _ = init_gan(cfg, jax.random.key(0))
+    fn = make_serving_fn(cfg, gv["params"], gv["batch_stats"],
+                         uint8_output=False, quantized_full=True)
+    imgs = np.asarray(fn(jnp.zeros((2, 16), jnp.float32)))
+    assert imgs.shape == (2, 32, 32, 3)
+    assert np.abs(imgs).max() <= 1.0
+
+    up = GANModelConfig(arch="dcgan_up", out_size=32, step_channels=8, encoding_dims=16)
+    gv_up, _ = init_gan(up, jax.random.key(1))
+    with pytest.raises(ValueError):
+        make_serving_fn(up, gv_up["params"], gv_up["batch_stats"],
+                        uint8_output=False, quantized_full=True)

@@ -77,6 +77,11 @@ def main():
     tps, pb = timed(serve, key)
     print(f"C  + fused Pallas tanh->uint8 epilogue: {tps:9.1f} tiles/s  ({pb*1e3:.2f} ms/batch)", flush=True)
 
+    serve_q = make_serving_fn(cfg, gv["params"], gv["batch_stats"], uint8_output=True,
+                              quantized_full=True)
+    tps, pb = timed(serve_q, key)
+    print(f"C8 full W8A8 int8 stack + uint8 out:    {tps:9.1f} tiles/s  ({pb*1e3:.2f} ms/batch)", flush=True)
+
     # ---- resize-conv (dcgan_up) A/B: 3-op pipeline vs fused transposed conv
     from functools import partial as _partial
 
