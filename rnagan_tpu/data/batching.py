@@ -33,7 +33,10 @@ def batch_indices(
         if len(idx) < batch_size and drop_remainder:
             return
         mask = np.ones(len(idx), np.float32)
-        target = batch_size if len(idx) == batch_size else -(-len(idx) // pad_to) * pad_to
+        # every batch (not just the short tail) pads up to a pad_to multiple:
+        # a batch_size smaller than / not divisible by the mesh data axis
+        # would otherwise produce shards jax.device_put cannot split
+        target = -(-max(len(idx), min(batch_size, n)) // pad_to) * pad_to
         if len(idx) < target:
             pad = target - len(idx)
             idx = np.concatenate([idx, order[np.arange(pad) % n]])

@@ -77,14 +77,22 @@ def infused_noise_population(
 def z_population_stats(vae: BetaVAE, vae_variables, rna_matrix, batch_size: int = 256):
     """Mean/std of z_mean over a (normalized) training expression matrix —
     computed once and bundled with GAN checkpoints so generation can use the
-    conditioning-preserving mode."""
+    conditioning-preserving mode.
+
+    ``vae_variables`` is a jit ARGUMENT (a closure would inline the ~0.5 GB
+    frozen VAE weights into the HLO as constants — see GANTrainer._noise);
+    the final short chunk is wrap-padded so one program serves every call."""
     import numpy as np
 
-    outs = []
-    enc = jax.jit(lambda x: vae.apply(vae_variables, x, train=False, method=BetaVAE.encode)[0])
+    enc = jax.jit(lambda v, x: vae.apply(v, x, train=False, method=BetaVAE.encode)[0])
     n = len(rna_matrix)
+    outs = []
     for s in range(0, n, batch_size):
         chunk = np.asarray(rna_matrix[s : s + batch_size], np.float32)
-        outs.append(np.asarray(enc(jnp.asarray(chunk))))
+        k = len(chunk)
+        if k < batch_size and n >= batch_size:  # pad to the one compiled shape
+            pad = np.asarray(rna_matrix[: batch_size - k], np.float32)
+            chunk = np.concatenate([chunk, pad])
+        outs.append(np.asarray(enc(vae_variables, jnp.asarray(chunk)))[:k])
     z = np.concatenate(outs, axis=0)
     return z.mean(axis=0), z.std(axis=0, ddof=1)

@@ -160,6 +160,7 @@ class FusionTrainer:
         n = len(bags)
         for epoch in range(num_epochs or cfg.num_epochs):
             sums, count = {"loss": 0.0, "acc": 0.0}, 0
+            pending = []  # metrics stay on device; drained in chunks
             for idx, m in batch_indices(n, cfg.batch_size, shuffle=True, seed=cfg.seed,
                                         epoch=epoch, pad_to=n_dev):
                 batch = shard_batch(
@@ -172,25 +173,31 @@ class FusionTrainer:
                     self.mesh,
                 )
                 state, metrics = self._train_step(state, batch["bags"], batch["rna"], batch["y"], batch["m"])
-                metrics = jax.device_get(metrics)
-                for k in sums:
-                    sums[k] += float(metrics[k])
+                pending.append(metrics)
                 count += 1
+                if len(pending) >= 512:
+                    for fetched in jax.device_get(pending):
+                        for k in sums:
+                            sums[k] += float(fetched[k])
+                    pending.clear()
+            for fetched in jax.device_get(pending):
+                for k in sums:
+                    sums[k] += float(fetched[k])
             history.append({k: v / max(count, 1) for k, v in sums.items()})
             self.logger.scalars("fusion", history[-1], epoch)
         return state, {"history": history}
 
     def predict(self, bags: BagData, state: FusionTrainState) -> np.ndarray:
+        from rnagan_tpu.data.batching import batch_indices
+
         preds = []
-        bs = self.cfg.batch_size
-        for s in range(0, len(bags), bs):
-            idx = np.arange(s, min(s + bs, len(bags)))
-            pad = bs - len(idx)
-            full = np.concatenate([idx, np.zeros(pad, np.int64)]) if pad else idx
+        n_dev = self.mesh.devices.size
+        for idx, m in batch_indices(len(bags), self.cfg.batch_size, pad_to=n_dev):
             batch = shard_batch(
-                {"bags": tiles_to_float(bags.bags[full]) * 0.5 + 0.5, "rna": bags.rna[bags.slide_idx[full]]},
+                {"bags": tiles_to_float(bags.bags[idx]) * 0.5 + 0.5,
+                 "rna": bags.rna[bags.slide_idx[idx]]},
                 self.mesh,
             )
             p = np.asarray(self._eval_step(state, batch["bags"], batch["rna"]))
-            preds.append(p[: len(idx)])
+            preds.append(p[np.asarray(m) > 0])
         return np.concatenate(preds) if preds else np.zeros(0, np.int64)

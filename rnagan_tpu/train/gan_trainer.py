@@ -191,11 +191,6 @@ class GANTrainer:
         use_gp = wgan_family
         fused_gp = use_gp and not cfg.compat_reference_gp
 
-        # weight clipping: reference applies it only for the plain wgan loss
-        # (constructed with clip at histopathology_gan.py:270; wganvae without)
-        if loss_type == "wgan" and cfg.clip is not None:
-            d_params = gan_losses.clip_params(d_params, cfg.clip[0], cfg.clip[1])
-
         # ---------------- D stage (critic loss, optionally fused with GP)
         noise_d = self._noise(k_d, batch, vae_variables)
         fake_d, g_stats = self._g_apply(g_params, g_stats, noise_d, labels)
@@ -241,6 +236,12 @@ class GANTrainer:
         grads, (aux, d_stats) = jax.grad(d_loss_fn, has_aux=True)(d_params)
         updates, d_opt = self.d_tx.update(grads, d_opt, d_params)
         d_params = optax.apply_updates(d_params, updates)
+        # weight clipping: reference applies it right AFTER the critic step
+        # and only for the plain wgan loss (wgan_loss.py:213-215, constructed
+        # with clip at histopathology_gan.py:270; wganvae without) — the GP
+        # and G stages below must see clipped weights
+        if loss_type == "wgan" and cfg.clip is not None:
+            d_params = gan_losses.clip_params(d_params, cfg.clip[0], cfg.clip[1])
         metrics.update(aux)
 
         # ---------------- GP stage (separate Adam step — reference dynamics)
@@ -262,6 +263,11 @@ class GANTrainer:
                 return cfg.gp_lambda * gp, gp
 
             grads, gp_val = jax.grad(gp_loss_fn, has_aux=True)(d_params)
+            # the reference's GP forward runs D in train mode, so it ALSO
+            # updates BatchNorm running stats (wgan_loss.py:381) — replay the
+            # interpolate forward for the stats update with pre-GP-step
+            # weights, as torch saw them
+            _, d_stats = self._d_apply(d_params, d_stats, interp, labels)
             updates, d_opt = self.d_tx.update(grads, d_opt, d_params)
             d_params = optax.apply_updates(d_params, updates)
             metrics["gp"] = gp_val
@@ -433,18 +439,22 @@ class GANTrainer:
                         sums[k] = sums.get(k, 0.0) + float(v)
                 pending.clear()
 
+            # time the whole epoch with ONE device sync at the end — a
+            # per-step block_until_ready would stall the dispatch pipeline
+            # this chunked fetch exists to keep full
+            timer.start()
             for batch in batches_per_epoch_fn(epoch):
                 sharded = shard_batch(batch, self.mesh)
-                timer.start()
                 state, metrics = self._train_step(state, sharded, self.vae_variables)
-                timer.stop(metrics["d_loss"])
                 pending.append(metrics)
                 count += 1
                 if len(pending) >= fetch_chunk:
                     _drain(pending)
             _drain(pending)
+            epoch_s = timer.stop(state.step)
             means = {k: v / max(count, 1) for k, v in sums.items()}
-            means.update(timer.stats())
+            means["steps_per_sec"] = count / max(epoch_s, 1e-9)
+            means["step_ms_mean"] = 1e3 * epoch_s / max(count, 1)
             if eval_fn is not None and eval_every and (epoch + 1) % eval_every == 0:
                 means.update(eval_fn(epoch, state, self))
             history.append(means)
@@ -459,4 +469,6 @@ class GANTrainer:
                 self.save_model(state, os.path.join(self.model_dir, "gan_last.model"),
                                 {"epoch": epoch}, async_=True)
         self._saver.wait()
-        return state, {"history": history, "timing": timer.stats()}
+        # the timer now measures whole epochs (one sync each), not steps
+        timing = {k.replace("step_", "epoch_"): v for k, v in timer.stats().items()}
+        return state, {"history": history, "timing": timing}

@@ -194,19 +194,27 @@ class TileClassifierTrainer:
         """Train with best-on-val-accuracy keeping (reference
         ``ml_experiments.py:152-158``)."""
         state = state if state is not None else self.init_state()
-        best_acc, best_state = -1.0, state
+        # best_state must never alias the (donated) input state: on a NaN val
+        # metric no epoch would replace it and fit would return deleted arrays
+        best_acc, best_state = -1.0, None
         history = []
         for epoch in range(self.cfg.num_epochs):
-            sums, count = {"loss": 0.0, "acc": 0.0}, 0
+            sums, count, pending = {"loss": 0.0, "acc": 0.0}, 0, []
             for idx, mask in self._batches(len(images01), epoch, True):
                 batch = shard_batch(
                     {"x": images01[idx], "y": labels[idx].astype(np.int32), "m": mask}, self.mesh
                 )
                 state, metrics = self._train_step(state, batch["x"], batch["y"], batch["m"])
-                metrics = jax.device_get(metrics)
-                for k in sums:
-                    sums[k] += float(metrics[k])
+                pending.append(metrics)
                 count += 1
+                if len(pending) >= 512:
+                    for m in jax.device_get(pending):
+                        for k in sums:
+                            sums[k] += float(m[k])
+                    pending.clear()
+            for m in jax.device_get(pending):
+                for k in sums:
+                    sums[k] += float(m[k])
             train_means = {k: v / max(count, 1) for k, v in sums.items()}
             val_pred = self.predict(val_images01, state)
             val_acc = float(np.mean(val_pred == val_labels))
@@ -215,6 +223,8 @@ class TileClassifierTrainer:
             if val_acc > best_acc:
                 best_acc = val_acc
                 best_state = jax.tree_util.tree_map(jnp.copy, state)
+        if best_state is None:
+            best_state = state  # degenerate val metrics: final state is live
         return best_state, {"history": history, "best_val_acc": best_acc}
 
     def predict(self, images01: np.ndarray, state: MLTrainState) -> np.ndarray:

@@ -171,11 +171,17 @@ class SimCLRTrainer:
         )
 
     def _train_step_impl(self, state: SSLTrainState, images01):
+        from rnagan_tpu.train.ml_experiment import IMAGENET_MEAN, IMAGENET_STD
+
         key = step_key(self._base_key, state.step)
         ka, kb = jax.random.split(key)
         va = augment_views(ka, images01, self.cfg.crop_scale_min)
         vb = augment_views(kb, images01, self.cfg.crop_scale_min)
         both = jnp.concatenate([va, vb], axis=0)
+        # same input normalization the downstream TileClassifierTrainer
+        # applies (ml_experiment.py) — the pretrained backbone must see the
+        # SAME input distribution at fine-tune time as at pretrain time
+        both = (both - jnp.asarray(IMAGENET_MEAN)) / jnp.asarray(IMAGENET_STD)
 
         def loss_fn(params):
             z, upd = self.model.apply(
@@ -198,18 +204,33 @@ class SimCLRTrainer:
         cfg = self.cfg
         state = state if state is not None else self.init_state()
         n = len(images01)
+        n_dev = self.mesh.devices.size
+        # NT-Xent treats every row as a real negative, so batches are never
+        # padded: clamp the batch to the corpus size (rounded down to a mesh
+        # multiple) instead of silently running zero steps on small corpora
+        bs = min(cfg.batch_size, n) // n_dev * n_dev
+        if bs == 0:
+            raise ValueError(
+                f"corpus of {n} images cannot fill one {n_dev}-device batch")
+        from rnagan_tpu.data.batching import batch_indices
+
         history = []
         for epoch in range(num_epochs or cfg.num_epochs):
-            order = np.random.RandomState(cfg.seed + epoch).permutation(n)
-            sums, count = {"loss": 0.0, "contrastive_acc": 0.0}, 0
-            for s in range(0, n - cfg.batch_size + 1, cfg.batch_size):
-                idx = order[s : s + cfg.batch_size]
+            sums, count, pending = {"loss": 0.0, "contrastive_acc": 0.0}, 0, []
+            for idx, _mask in batch_indices(n, bs, shuffle=True, seed=cfg.seed,
+                                            epoch=epoch, drop_remainder=True):
                 batch = shard_batch({"x": images01[idx]}, self.mesh)
                 state, metrics = self._train_step(state, batch["x"])
-                metrics = jax.device_get(metrics)
-                for k in sums:
-                    sums[k] += float(metrics[k])
+                pending.append(metrics)
                 count += 1
+                if len(pending) >= 512:
+                    for m in jax.device_get(pending):
+                        for k in sums:
+                            sums[k] += float(m[k])
+                    pending.clear()
+            for m in jax.device_get(pending):
+                for k in sums:
+                    sums[k] += float(m[k])
             history.append({k: v / max(count, 1) for k, v in sums.items()})
             self.logger.scalars("ssl", history[-1], epoch)
         return state, {"history": history}

@@ -210,7 +210,9 @@ class VAETrainer:
         history = {"train": [], "val": []}
         best_loss = float("inf")
         best_epoch = -1
-        best_state = state
+        # never alias the (donated) input state: on all-NaN val losses no
+        # epoch would replace it and fit would return deleted arrays
+        best_state = None
         extra = {"scaler": scaler.state_dict()} if scaler is not None else {}
 
         for epoch in range(self.cfg.num_epochs):
@@ -242,6 +244,8 @@ class VAETrainer:
                     )
         if keeper:
             keeper.save_last({"params": state.params, "batch_stats": state.batch_stats, **extra})
+        if best_state is None:
+            best_state = state  # degenerate (NaN) val losses: final state is live
         results = {
             "best_epoch": best_epoch,
             "best_loss": {"total_loss": best_loss},
