@@ -191,6 +191,15 @@ class GANTrainer:
         use_gp = wgan_family
         fused_gp = use_gp and not cfg.compat_reference_gp
 
+        # weight clipping: the reference clamps at the START of the critic's
+        # train_ops, BEFORE its forward (wgan_loss.py:213-215, verified) — so
+        # within one iteration the GP and G stages see UNclipped post-step
+        # weights, and the clamp lands at the next iteration's critic stage.
+        # Applied only for the plain wgan loss (constructed with clip at
+        # histopathology_gan.py:270; wganvae without).
+        if loss_type == "wgan" and cfg.clip is not None:
+            d_params = gan_losses.clip_params(d_params, cfg.clip[0], cfg.clip[1])
+
         # ---------------- D stage (critic loss, optionally fused with GP)
         noise_d = self._noise(k_d, batch, vae_variables)
         fake_d, g_stats = self._g_apply(g_params, g_stats, noise_d, labels)
@@ -236,12 +245,6 @@ class GANTrainer:
         grads, (aux, d_stats) = jax.grad(d_loss_fn, has_aux=True)(d_params)
         updates, d_opt = self.d_tx.update(grads, d_opt, d_params)
         d_params = optax.apply_updates(d_params, updates)
-        # weight clipping: reference applies it right AFTER the critic step
-        # and only for the plain wgan loss (wgan_loss.py:213-215, constructed
-        # with clip at histopathology_gan.py:270; wganvae without) — the GP
-        # and G stages below must see clipped weights
-        if loss_type == "wgan" and cfg.clip is not None:
-            d_params = gan_losses.clip_params(d_params, cfg.clip[0], cfg.clip[1])
         metrics.update(aux)
 
         # ---------------- GP stage (separate Adam step — reference dynamics)
