@@ -163,33 +163,34 @@ def main():
     per_batch = (t_long - t_short) / (N_LONG - N_SHORT)
     tiles_per_sec = BATCH / per_batch
 
-    # the RECOMMENDED egress configuration (make_serving_fn: BN-folded
-    # generator + fused tanh->uint8 Pallas epilogue), same infusion pipeline —
-    # so the benched number and the shipped serving path are the same code
-    from rnagan_tpu.eval.serving import make_serving_fn
-
-    serve_fn = make_serving_fn(model_cfg, gv["params"], gv["batch_stats"], uint8_output=True)
+    # the RECOMMENDED egress configuration (BN-folded generator + fused
+    # tanh->uint8 Pallas epilogue — the make_serving_fn(uint8_output=True)
+    # computation), same infusion pipeline. Weights ride as ARGUMENTS:
+    # make_serving_fn's returned closure would inline them as HLO constants
+    # when traced inside the scan (remote compiler rejects >~100 MB bodies)
+    from rnagan_tpu.ops.quantize import pallas_tanh_to_uint8
 
     @partial(jax.jit, static_argnums=(3,))
-    def chained_serve(vae_variables, g_unused, gene, n_iters, key):
+    def chained_serve(vae_variables, g_vars2, gene, n_iters, key):
         def body(carry, i):
             z_mean = encode_z_mean(vae, vae_variables, gene + carry * 1e-6)
             u = jax.random.uniform(
                 jax.random.fold_in(key, i), (BATCH, model_cfg.encoding_dims), jnp.float32, -0.3, 0.3
             )
             noise = standardize_batch(u + z_mean)
-            img = serve_fn(noise)
+            pre = dcgan_lax_apply(model_cfg, g_vars2, noise, final_tanh=False)
+            img = pallas_tanh_to_uint8(pre, apply_tanh=True)
             return jnp.mean(img.astype(jnp.float32)), None
 
         carry, _ = jax.lax.scan(body, jnp.float32(0), jnp.arange(n_iters))
         return carry
 
     def timed_serve(n):
-        float(chained_serve(vae_vars, None, gene, n, key))
+        float(chained_serve(vae_vars, g_vars, gene, n, key))
         best = float("inf")
         for _ in range(4):
             t0 = time.perf_counter()
-            float(chained_serve(vae_vars, None, gene, n, key))
+            float(chained_serve(vae_vars, g_vars, gene, n, key))
             best = min(best, time.perf_counter() - t0)
         return best
 
@@ -200,8 +201,10 @@ def main():
             ts, tl = timed_serve(N_SHORT), timed_serve(N_LONG)
         if tl > ts:
             serve_tps = BATCH / ((tl - ts) / (N_LONG - N_SHORT))
-    except Exception:
-        pass  # secondary metric: never take down the headline
+    except Exception as e:  # secondary metric: never take down the headline
+        serve_error = f"{type(e).__name__}: {e}"
+    else:
+        serve_error = None
 
     record = {
         "metric": "rnagan_synthesis_throughput",
@@ -211,6 +214,8 @@ def main():
     }
     if serve_tps is not None:
         record["serve_uint8_tiles_per_sec"] = round(serve_tps, 2)
+    elif serve_error:
+        record["serve_metric_error"] = serve_error[:200]
     try:  # secondary metrics ride along in the same single JSON line
         record.update(train_metrics())
     except Exception as e:
