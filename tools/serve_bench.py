@@ -7,6 +7,11 @@ Compares at full production size (256x256, z=2048, step 64, batch 64):
   C. B + fused Pallas tanh->uint8 epilogue
 """
 
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 import time
 from functools import partial
 

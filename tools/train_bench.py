@@ -19,6 +19,11 @@ data-parallel mesh at global batch 32 lands well inside the <=1 h target
 (BASELINE.md) — the reference needed ~24 epochs on a GTX 2080/P40 class GPU.
 """
 
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 import sys
 import time
 from functools import partial
