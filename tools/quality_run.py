@@ -296,6 +296,7 @@ def main():
     from rnagan_tpu.core.config import GANConfig, GANModelConfig, VAEModelConfig
     from rnagan_tpu.train.gan_trainer import GANTrainer
 
+    print(f"[setup] backend init: {jax.devices()[0]}", flush=True)
     t0 = time.time()
     corpus = build_corpus(args)
     expr_norm, _scaler = normalized_expression(corpus)
