@@ -132,7 +132,8 @@ def main(argv=None):
                            with_labels=args.gan_type == "condgan", seed=args.seed, pad_to=n_dev)
     state, results = trainer.fit(lambda e: batches.epoch(e), state=state,
                                  auto_resume=args.auto_resume,
-                                 eval_fn=eval_fn, eval_every=args.fid_every)
+                                 eval_fn=eval_fn, eval_every=args.fid_every,
+                                 keep_best_metric="fid" if eval_fn else None)
     print("Final epoch:", results["history"][-1] if results["history"] else {})
     return results
 

@@ -258,16 +258,29 @@ def _up_block_ref(x: jax.Array, kernel3: jax.Array, bias: jax.Array) -> jax.Arra
 
 
 def fused_up_block_exact(x: jax.Array, kernel6: jax.Array, kernel3: jax.Array,
-                         bias: jax.Array) -> jax.Array:
+                         bias: jax.Array, *, small_exact: int = 16) -> jax.Array:
     """Fused up-block with EXACT border: the single stride-2 transposed conv
     handles the interior; the 2-pixel output frame (where the transposed
     conv's implicit zero padding diverges from upsample edge-clamp +
-    reflection pad) is recomputed with the original two-op pipeline on 4-wide
-    input edge strips — O(edge) extra work for bit-parity with the unfused
-    generator. The output rows 0..1 depend only on input rows 0..2 (and
-    the top clamp), so 4-row strips are sufficient; same for every side."""
+    reflection pad) is recomputed with the original two-op pipeline on edge
+    strips — O(edge) extra work for bit-parity with the unfused generator.
+
+    Strip size: upsampled row ``u[2i] = .25 x[i-1] + .75 x[i]``,
+    ``u[2i+1] = .75 x[i] + .25 x[i+1]`` (clamped), so a 2-row input strip
+    yields correct ``u[0..2]``; after reflection pad the 3x3 conv's output
+    rows 0..1 read exactly ``u[1], u[0..2]`` — all correct. 2-row strips are
+    therefore minimal AND sufficient (the round-1 version used 4).
+
+    Cost shape: strips cost ~8/H of the fused interior, which at small maps
+    (H=4 head block: 2x the interior!) dominates — so maps with
+    ``H <= small_exact`` run the whole two-op reference path instead (exact by
+    definition, compute-trivial at those sizes, and the extra HBM round-trip
+    is cache-resident). Measured threshold sweep lives in tools/serve_bench.py."""
+    h, w = x.shape[1], x.shape[2]
+    if h <= small_exact or w <= small_exact:
+        return _up_block_ref(x, kernel3, bias)
     y = fused_up_block(x, kernel6, bias)
-    s = 4
+    s = 2
     top = _up_block_ref(x[:, :s], kernel3, bias)[:, :2]
     bot = _up_block_ref(x[:, -s:], kernel3, bias)[:, -2:]
     left = _up_block_ref(x[:, :, :s], kernel3, bias)[:, :, :2]
@@ -292,7 +305,7 @@ def fuse_up_generator_params(cfg: GANModelConfig, folded_params: Dict[str, Any],
 
 def dcgan_up_lax_apply(cfg: GANModelConfig, params: Dict[str, Any], noise: jax.Array, *,
                        head_fn=None, final_tanh: bool = True,
-                       exact_border: bool = True) -> jax.Array:
+                       exact_border: bool = True, small_exact: int = 16) -> jax.Array:
     """Folded resize-conv generator on the fused path: ConvT head + one
     stride-2 transposed conv per up-block (kernels from
     ``fuse_up_generator_params``), borders exact via
@@ -311,8 +324,12 @@ def dcgan_up_lax_apply(cfg: GANModelConfig, params: Dict[str, Any], noise: jax.A
     else:
         x = head_fn(noise).astype(dt)
     x = jax.nn.leaky_relu(x, cfg.leaky_slope)
-    block = fused_up_block_exact if exact_border else (
-        lambda x, k6, k3, b: fused_up_block(x, k6, b))
+    if exact_border:
+        def block(x, k6, k3, b):
+            return fused_up_block_exact(x, k6, k3, b, small_exact=small_exact)
+    else:
+        def block(x, k6, k3, b):
+            return fused_up_block(x, k6, b)
     for i in range(r):
         leaf = params[f"Conv_{i}"]
         x = block(x, leaf["kernel6"].astype(dt), leaf["kernel"].astype(dt),
@@ -326,12 +343,16 @@ def dcgan_up_lax_apply(cfg: GANModelConfig, params: Dict[str, Any], noise: jax.A
 
 def make_serving_fn(cfg: GANModelConfig, g_params, g_stats, *, weights_dtype=jnp.float32,
                     uint8_output: bool = True, quantized_head: bool = False,
-                    quantized_full: bool = False):
+                    quantized_full: bool = False, exact_border: bool = True,
+                    small_exact: int = 16):
     """Build the fastest synthesis function: BN-folded generator with
     ``weights_dtype`` weights, optionally ending in the fused Pallas
     tanh->uint8 epilogue (ops/quantize.py). ``quantized_full`` runs the whole
     ``dcgan`` stack as W8A8 int8 convs (double-rate MXU path; small bounded
-    quantization error — serving only). Returns ``fn(noise) -> images``
+    quantization error — serving only). ``exact_border`` (dcgan_up only)
+    selects bit-parity borders vs the unfused generator; ``small_exact`` is
+    the feature-map size at or below which whole blocks run the exact two-op
+    path (see fused_up_block_exact). Returns ``fn(noise) -> images``
     (uint8 NHWC or float32 [-1,1])."""
     module, variables = fold_generator(cfg, g_params, g_stats, dtype=weights_dtype)
 
@@ -394,7 +415,8 @@ def make_serving_fn(cfg: GANModelConfig, g_params, g_stats, *, weights_dtype=jnp
 
         def apply_fn(noise, final_tanh):
             return dcgan_up_lax_apply(cfg, params, noise, head_fn=head_fn,
-                                      final_tanh=final_tanh)
+                                      final_tanh=final_tanh,
+                                      exact_border=exact_border, small_exact=small_exact)
     else:
         def apply_fn(noise, final_tanh):
             return dcgan_lax_apply(cfg, params, noise, head_fn=head_fn,

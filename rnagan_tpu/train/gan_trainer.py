@@ -406,6 +406,7 @@ class GANTrainer:
         auto_resume: bool = False,
         eval_fn=None,
         eval_every: int = 0,
+        keep_best_metric: Optional[str] = None,
     ) -> Tuple[GANTrainState, Dict[str, Any]]:
         """Epoch loop. ``batches_per_epoch_fn(epoch) -> iterable of batch
         dicts`` (numpy NHWC images in [-1,1], plus rna_data/labels as needed).
@@ -415,7 +416,11 @@ class GANTrainer:
         ``--checkpoint`` (SURVEY.md 5.3). ``eval_fn(epoch, state, trainer) ->
         dict of scalars`` runs every ``eval_every`` epochs (e.g. an in-training
         FID probe — the reference only evaluates post-hoc) and is merged into
-        the epoch's logged metrics."""
+        the epoch's logged metrics. ``keep_best_metric`` names one of
+        ``eval_fn``'s scalars (lower = better, e.g. ``"fid"``): the state at
+        its best observed value is retained as a device-side snapshot and
+        written to ``model_dir/gan_best.model`` — the GAN-side analogue of the
+        reference VAE's best-on-val checkpoint (betaVAE.py:270-273)."""
         cfg = self.cfg
         if state is None and auto_resume and self.model_dir:
             last = os.path.join(self.model_dir, "gan_last.model")
@@ -426,6 +431,8 @@ class GANTrainer:
         num_epochs = num_epochs if num_epochs is not None else cfg.num_epochs
         timer = StepTimer()
         history = []
+        best_val, best_state, best_epoch = float("inf"), None, -1
+        snapshot = jax.jit(lambda s: jax.tree_util.tree_map(jnp.copy, s))
         # per-step metrics stay on device and are fetched in chunks: a host
         # sync every step stalls the dispatch pipeline (~0.5 s RPC per step on
         # tunneled backends), while holding a whole reference-scale epoch
@@ -460,6 +467,9 @@ class GANTrainer:
             means["step_ms_mean"] = 1e3 * epoch_s / max(count, 1)
             if eval_fn is not None and eval_every and (epoch + 1) % eval_every == 0:
                 means.update(eval_fn(epoch, state, self))
+                if keep_best_metric and means.get(keep_best_metric, float("inf")) < best_val:
+                    best_val = means[keep_best_metric]
+                    best_state, best_epoch = snapshot(state), epoch
             history.append(means)
             self.logger.scalars("gan", means, epoch)
             self.logger.console(
@@ -471,7 +481,14 @@ class GANTrainer:
             if self.model_dir and (epoch + 1) % save_every == 0:
                 self.save_model(state, os.path.join(self.model_dir, "gan_last.model"),
                                 {"epoch": epoch}, async_=True)
+        if best_state is not None and self.model_dir:
+            self.save_model(best_state, os.path.join(self.model_dir, "gan_best.model"),
+                            {"epoch": best_epoch, keep_best_metric: best_val}, async_=True)
         self._saver.wait()
         # the timer now measures whole epochs (one sync each), not steps
         timing = {k.replace("step_", "epoch_"): v for k, v in timer.stats().items()}
-        return state, {"history": history, "timing": timing}
+        out: Dict[str, Any] = {"history": history, "timing": timing}
+        if best_state is not None:
+            out["best"] = {"state": best_state, "epoch": best_epoch,
+                           keep_best_metric: best_val}
+        return state, out

@@ -142,6 +142,32 @@ def test_fit_eval_callback():
     assert "probe_mean" not in results["history"][0]
 
 
+def test_fit_keeps_best_metric_state(tmp_path):
+    """keep_best_metric retains the state at the best (lowest) probe value and
+    writes gan_best.model — reference best-on-val pattern (betaVAE.py:270-273)
+    applied to the GAN trainer per VERDICT r2 item 4."""
+    cfg = GANConfig(model=MODEL32, loss_type="lsgan", batch_size=16, sample_size=4)
+    trainer = GANTrainer(cfg, model_dir=str(tmp_path))
+    batches = TileBatches(tiles_to_float(_tiles()), batch_size=16, pad_to=8)
+    fake_fid = {0: 50.0, 1: 20.0, 2: 30.0}  # best at epoch 1, then regresses
+
+    def eval_fn(epoch, state, tr):
+        return {"fid": fake_fid[epoch]}
+
+    final_state, results = trainer.fit(lambda e: batches.epoch(e), num_epochs=3,
+                                       eval_fn=eval_fn, eval_every=1,
+                                       keep_best_metric="fid")
+    best = results["best"]
+    assert best["epoch"] == 1 and best["fid"] == 20.0
+    # retained state is the end-of-epoch-1 snapshot (2 steps/epoch at 32
+    # tiles / batch 16), not the final state
+    assert int(np.asarray(best["state"].step)) == 4
+    assert int(np.asarray(best["state"].step)) < int(np.asarray(final_state.step))
+    assert os.path.exists(tmp_path / "gan_best.model")
+    loaded = trainer.load_model(str(tmp_path / "gan_best.model"))
+    assert int(np.asarray(loaded.step)) == int(np.asarray(best["state"].step))
+
+
 def test_fused_critic_batch_equivalence():
     """With a batchnorm-free discriminator, evaluating D on [real; fake] as
     one concatenated batch must reproduce the separate-pass step exactly

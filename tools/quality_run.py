@@ -203,21 +203,29 @@ def make_fid_probe(trainer, corpus, expr_norm, args):
                             ti + sl * stride, corpus.size)
         return extractor._features(extractor.variables, (imgs + 1.0) * 0.5)
 
-    def fake_images(state, key, vae_vars):
+    def fake_images(state, key, vae_vars, train_mode=False):
         if expr_dev is not None:
             sl = jax.random.randint(jax.random.fold_in(key, 1), (chunk,), 0, corpus.n_slides)
             z_mean = encode_z_mean(trainer.vae, vae_vars, expr_dev[sl])
             noise = infused_noise(jax.random.fold_in(key, 2), z_mean, trainer.cfg.noise_range)
         else:
             noise = jax.random.normal(key, (chunk, dims), jnp.float32)
-        imgs = trainer.generator.apply(
-            {"params": state.g_params, "batch_stats": state.g_stats},
-            noise, labels=None, train=False)
+        if train_mode:
+            # batch-stat BN (diagnostic): separates "G is broken" from "G's
+            # running stats are broken" when eval-mode samples look off
+            imgs, _ = trainer.generator.apply(
+                {"params": state.g_params, "batch_stats": state.g_stats},
+                noise, labels=None, train=True, mutable=["batch_stats"])
+        else:
+            imgs = trainer.generator.apply(
+                {"params": state.g_params, "batch_stats": state.g_stats},
+                noise, labels=None, train=False)
         return jnp.clip((imgs.astype(jnp.float32) + 1.0) * 0.5, 0.0, 1.0)
 
-    @jax.jit
-    def fake_acts_chunk(state, key, vae_vars):
-        return extractor._features(extractor.variables, fake_images(state, key, vae_vars))
+    @partial(jax.jit, static_argnums=(3,))
+    def fake_acts_chunk(state, key, vae_vars, train_mode=False):
+        return extractor._features(
+            extractor.variables, fake_images(state, key, vae_vars, train_mode))
 
     @jax.jit
     def fake_grid_chunk(state, key, vae_vars):  # uint8 on device: 4x smaller fetch
@@ -243,11 +251,11 @@ def make_fid_probe(trainer, corpus, expr_norm, args):
     floor = calculate_frechet_distance(mu_a, s_a, mu_b, s_b)
     del acts_r
 
-    def probe(state, epoch):
+    def probe(state, epoch, train_mode=False):
         acts = np.concatenate([
             np.asarray(fake_acts_chunk(
                 state, jax.random.fold_in(jax.random.key(4242 + epoch), i),
-                trainer.vae_variables))
+                trainer.vae_variables, train_mode))
             for i in range(0, args.fid_n, chunk)
         ])[: args.fid_n]
         mu_f, s_f = stats(acts)
@@ -285,12 +293,22 @@ def main():
     p.add_argument("--out", default=None)
     p.add_argument("--resume", action="store_true")
     p.add_argument("--smoke", action="store_true", help="tiny shapes, CPU-able")
+    # --- ablation knobs (wgan-baseline root-cause work; defaults = shipped cfg)
+    p.add_argument("--tag", default=None, help="run name (output files suffix)")
+    p.add_argument("--compat_gp", action="store_true",
+                   help="reference dynamics: separate GP Adam step, scalar eps, global norm")
+    p.add_argument("--no_clip", action="store_true", help="disable the wgan +-0.01 weight clip")
+    p.add_argument("--g_lr", type=float, default=None)
+    p.add_argument("--d_lr", type=float, default=None)
+    p.add_argument("--probe_train", action="store_true",
+                   help="also record FID with train-mode (batch-stat) BN in G")
     args = p.parse_args()
     if args.smoke:
         args.slides, args.tiles_per_slide, args.genes = 6, 12, 64
         args.size, args.batch, args.vae_epochs = 32, 4, 3
         args.epochs, args.fid_n, args.fid_batch = 2, 8, 8
-    out_path = args.out or os.path.join(args.workdir, f"{args.loss_type}.json")
+    run_name = args.tag or args.loss_type
+    out_path = args.out or os.path.join(args.workdir, f"{run_name}.json")
     os.makedirs(args.workdir, exist_ok=True)
 
     from rnagan_tpu.core.config import GANConfig, GANModelConfig, VAEModelConfig
@@ -316,8 +334,15 @@ def main():
 
     model_cfg = GANModelConfig(out_size=args.size,
                                encoding_dims=vae_cfg.z_dim if args.loss_type == "wganvae" else 2048)
-    cfg = GANConfig(model=model_cfg, loss_type=args.loss_type, batch_size=args.batch,
-                    vae=vae_cfg)
+    cfg_kw = dict(model=model_cfg, loss_type=args.loss_type, batch_size=args.batch,
+                  vae=vae_cfg, compat_reference_gp=args.compat_gp)
+    if args.no_clip:
+        cfg_kw["clip"] = None
+    if args.g_lr is not None:
+        cfg_kw["g_lr"] = args.g_lr
+    if args.d_lr is not None:
+        cfg_kw["d_lr"] = args.d_lr
+    cfg = GANConfig(**cfg_kw)
     trainer = GANTrainer(cfg, vae_variables=vae_vars)
 
     steps_per_epoch = max((args.slides * args.tiles_per_slide) // args.batch, 1)
@@ -326,7 +351,8 @@ def main():
     probe = make_fid_probe(trainer, corpus, expr_norm, args)
     print(f"[setup] FID probe (incl. real-set activations) {time.time() - t0:.0f}s", flush=True)
 
-    ckpt = os.path.join(args.workdir, f"{args.loss_type}_last.model")
+    ckpt = os.path.join(args.workdir, f"{run_name}_last.model")
+    ckpt_best = os.path.join(args.workdir, f"{run_name}_best.model")
     history, start_epoch = [], 0
     if args.resume and os.path.exists(ckpt) and os.path.exists(out_path):
         state = trainer.load_model(ckpt)
@@ -353,6 +379,8 @@ def main():
             "tiles_per_slide": args.tiles_per_slide, "batch": args.batch,
             "steps_per_epoch": steps_per_epoch, "size": args.size,
             "fid_n": args.fid_n, "fid_floor_real_vs_real": round(probe.floor, 4),
+            "compat_reference_gp": cfg.compat_reference_gp,
+            "clip": cfg.clip, "g_lr": cfg.g_lr, "d_lr": cfg.d_lr,
             "backend": jax.devices()[0].platform,
             "device": str(jax.devices()[0])}
     print(f"[run] {meta}", flush=True)
@@ -361,6 +389,17 @@ def main():
     # whole epoch (~3 min) crashes the tunneled TPU worker (per-execution
     # deadline); chunks of <=steps_per_dispatch keep each execute ~30 s while
     # the dispatches still pipeline back-to-back on device
+    @jax.jit
+    def snapshot(state):  # device-side full-state copy (no host traffic)
+        return jax.tree_util.tree_map(jnp.copy, state)
+
+    # best-FID retention (VERDICT r2 item 4): the best generator observed must
+    # not be thrown away — reference keeps best-on-val for the VAE
+    # (betaVAE.py:270-273); we do the same against the FID probe.
+    best_fid, best_state, best_epoch = float("inf"), None, -1
+    for r in history:
+        if "fid" in r and r["fid"] < best_fid:
+            best_fid, best_epoch = r["fid"], r["epoch"]
     for epoch in range(start_epoch, args.epochs):
         t0 = time.time()
         key = jax.random.fold_in(jax.random.key(cfg.seed), 1000 + epoch)
@@ -384,18 +423,29 @@ def main():
         if args.fid_every and (epoch + 1) % args.fid_every == 0:
             t1 = time.time()
             rec["fid"] = round(probe(state, epoch), 4)
+            if args.probe_train:
+                rec["fid_train_mode"] = round(probe(state, epoch, train_mode=True), 4)
             rec["fid_s"] = round(time.time() - t1, 2)
+            if rec["fid"] < best_fid:
+                best_fid, best_state, best_epoch = rec["fid"], snapshot(state), epoch
         history.append(rec)
         print(f"[epoch {epoch}] " + " ".join(f"{k}={v}" for k, v in rec.items() if k != "epoch"),
               flush=True)
         with open(out_path, "w") as f:
-            json.dump({"meta": meta, "history": history}, f, indent=1)
+            json.dump({"meta": meta, "history": history,
+                       "best": {"fid": best_fid, "epoch": best_epoch}}, f, indent=1)
         if (epoch + 1) % args.save_every == 0 or epoch == args.epochs - 1:
             # async: the ~2.7 GB G+D+optimizer fetch (~7 MB/s on this tunnel)
             # overlaps the next epochs' training instead of stalling them
             trainer.save_model(state, ckpt, {"epoch": epoch}, async_=True)
             probe.sample_grid(state, os.path.join(
-                args.workdir, "grids", f"{args.loss_type}_epoch{epoch:03d}.png"), epoch)
+                args.workdir, "grids", f"{run_name}_epoch{epoch:03d}.png"), epoch)
+    if best_state is not None:
+        trainer.save_model(best_state, ckpt_best, {"epoch": best_epoch, "fid": best_fid},
+                           async_=True)
+        probe.sample_grid(best_state, os.path.join(
+            args.workdir, "grids", f"{run_name}_best_epoch{best_epoch:03d}.png"), best_epoch)
+        print(f"[best] fid {best_fid} at epoch {best_epoch} -> {ckpt_best}", flush=True)
     trainer._saver.wait()
     print(f"[done] {out_path}", flush=True)
 

@@ -113,9 +113,14 @@ def main():
     report("E dcgan_up fused ConvT (no border fix):",
            *timed(lambda p, z: dcgan_up_lax_apply(up_cfg, p, z, exact_border=False),
                   fused_params, key))
-    report("F dcgan_up fused ConvT + exact border: ",
-           *timed(lambda p, z: dcgan_up_lax_apply(up_cfg, p, z, exact_border=True),
-                  fused_params, key))
+    # exact-border threshold sweep: maps with H <= small_exact run the whole
+    # two-op reference path (strip fix-up costs ~8/H of the block — ruinous at
+    # small maps, negligible at large ones)
+    for thr in (0, 8, 16, 32):
+        report(f"F dcgan_up fused + exact border (T={thr:2d}):",
+               *timed(partial(lambda thr, p, z: dcgan_up_lax_apply(
+                   up_cfg, p, z, exact_border=True, small_exact=thr), thr),
+                   fused_params, key))
 
 
 if __name__ == "__main__":
