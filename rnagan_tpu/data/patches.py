@@ -198,6 +198,7 @@ class StreamingPatchBatches:
         pad_to: int = 1,
         prefetch_depth: int = 2,
         verbose: bool = False,
+        emit_uint8: bool = False,
     ):
         self.batch_size = batch_size
         self.with_rna = with_rna
@@ -205,6 +206,9 @@ class StreamingPatchBatches:
         self.seed = seed
         self.pad_to = pad_to
         self.prefetch_depth = prefetch_depth
+        #: ship raw uint8 tiles and let the jitted train step normalize on
+        #: device (GANTrainer sniffs the dtype) — 4x less host->device traffic
+        self.emit_uint8 = emit_uint8
         rng = np.random.RandomState(seed)
         cols = rna_columns(df) if with_rna else []
 
@@ -290,7 +294,7 @@ class StreamingPatchBatches:
                     f"of index {idx[pos]}"
                 )
 
-        batch = {"image": tiles_to_float(imgs)}
+        batch = {"image": imgs if self.emit_uint8 else tiles_to_float(imgs)}
         if self.with_rna:
             batch["rna_data"] = np.stack([self._rna_rows[c[3]] for c in chosen])
         if self.with_labels:

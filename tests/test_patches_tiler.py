@@ -191,6 +191,30 @@ def test_streaming_patch_batches(tmp_path, rng):
     stream.close()
 
 
+def test_streaming_emit_uint8_matches_float_path(tmp_path, rng):
+    """emit_uint8 ships the raw tile bytes; same tiles, same order as the
+    float pipeline — normalization just moves onto the device (GANTrainer
+    sniffs the dtype). 4x less host->device traffic in production."""
+    from rnagan_tpu.data.patches import StreamingPatchBatches
+    from rnagan_tpu.data.tiles import tiles_to_float
+
+    out_dir = str(tmp_path)
+    os.makedirs(os.path.join(out_dir, "S"), exist_ok=True)
+    with LMDBTileWriter(slide_db_path(out_dir, "S")) as w:
+        for i in range(8):
+            w.put_tile(f"S_p{i}", rng.randint(0, 255, (16, 16, 3), dtype=np.uint8))
+    df = pd.DataFrame([{"wsi_file_name": "S", "patch_data_path": out_dir}])
+    kw = dict(batch_size=4, max_patches_total=8, pad_to=4)
+    raw = StreamingPatchBatches(df, emit_uint8=True, **kw)
+    flt = StreamingPatchBatches(df, **kw)
+    for br, bf in zip(raw.epoch(0), flt.epoch(0)):
+        assert br["image"].dtype == np.uint8
+        assert bf["image"].dtype == np.float32
+        np.testing.assert_allclose(tiles_to_float(br["image"]), bf["image"], atol=1e-6)
+    raw.close()
+    flt.close()
+
+
 def test_load_bag_folder_reference_jpeg_layout(tmp_path, rng):
     """The reference's file-per-patch layout (read_data.py:60-98): per-slide
     dirs of <wsi>_patch_<i>.jpeg counted by loc.txt lines - 2; bags are
