@@ -31,6 +31,10 @@ def build_parser():
     p.add_argument("--vae_checkpoint", type=str, default=None,
                    help="beta-VAE checkpoint for wganvae (the reference hardcodes this path)")
     p.add_argument("--batch_size", type=int, default=8)
+    p.add_argument("--n_critic", type=int, default=1,
+                   help="critic steps per G update (WGAN schedule; 1 = reference parity)")
+    p.add_argument("--no_clip", action="store_true",
+                   help="disable the wgan +-0.01 weight clip (pure WGAN-GP dynamics)")
     p.add_argument("--compat_reference_gp", action="store_true",
                    help="reproduce the reference's two-step GP dynamics exactly")
     p.add_argument("--auto_resume", action="store_true",
@@ -100,6 +104,8 @@ def main(argv=None):
         vae=vae_model,
         vae_checkpoint=args.vae_checkpoint or config.get("encoder_checkpoint"),
         compat_reference_gp=args.compat_reference_gp,
+        n_critic=args.n_critic,
+        **({"clip": None} if args.no_clip else {}),
         seed=args.seed,
     )
     trainer = GANTrainer(cfg, image_dir=args.image_dir, model_dir=args.model_dir)

@@ -120,11 +120,18 @@ class GANConfig:
     #: (wgan_loss.py:43), plus separate D-loss and GP optimizer steps as
     #: torchgan's Trainer runs each loss's train_ops independently.
     compat_reference_gp: bool = False
-    #: performance mode: evaluate D on real and fake as ONE concatenated
-    #: 2B batch in the critic loss (fewer launches, better MXU utilization).
-    #: With batchnorm in D this changes which samples the batch statistics
-    #: see (combined vs per-pass) — exactly equivalent when batchnorm=False.
+    #: performance mode: evaluate D on real and fake as ONE 2B-batch dispatch
+    #: in the critic loss (vmap over a [real; fake] group axis — fewer
+    #: launches, better MXU utilization). Exactly equivalent to the two-pass
+    #: step including batchnorm: per-group batch statistics plus a closed-form
+    #: recomposition of the sequential running-stats update (tested).
     fused_critic_batch: bool = False
+    #: critic iterations per generator update (WGAN n_critic; arXiv:1701.07875
+    #: trains 5 critic steps per G step). The reference's torchgan Trainer
+    #: runs 1:1, so 1 is the parity default. With n_critic > 1, every step
+    #: still updates D (+GP) on its own fresh batch; the G update runs on
+    #: every n_critic-th step only.
+    n_critic: int = 1
     sample_size: int = 64  # per-epoch sample grid (histopathology_gan.py:300)
     seed: int = 99
     mesh: MeshConfig = field(default_factory=MeshConfig)

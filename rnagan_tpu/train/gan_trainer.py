@@ -304,9 +304,23 @@ class GANTrainer:
                 loss = gan_losses.least_squares_generator_loss(dgz)
             return loss, (gs, ds)
 
-        (g_loss, (g_stats, d_stats)), grads = jax.value_and_grad(g_loss_fn, has_aux=True)(state.g_params)
-        updates, g_opt = self.g_tx.update(grads, state.g_opt, state.g_params)
-        g_params = optax.apply_updates(state.g_params, updates)
+        def g_update(_):
+            (g_loss, (gs, ds)), grads = jax.value_and_grad(g_loss_fn, has_aux=True)(state.g_params)
+            updates, g_opt = self.g_tx.update(grads, state.g_opt, state.g_params)
+            return (optax.apply_updates(state.g_params, updates), gs, ds, g_opt,
+                    g_loss.astype(jnp.float32))
+
+        if cfg.n_critic > 1:
+            # WGAN critic schedule (arXiv:1701.07875 alg. 1): D (+GP) updated
+            # every step on fresh data above; G only every n_critic-th step.
+            # lax.cond keeps the whole step one compiled program.
+            def g_skip(_):
+                return state.g_params, g_stats, d_stats, state.g_opt, jnp.float32(0.0)
+
+            do_g = (state.step % cfg.n_critic) == (cfg.n_critic - 1)
+            g_params, g_stats, d_stats, g_opt, g_loss = jax.lax.cond(do_g, g_update, g_skip, None)
+        else:
+            g_params, g_stats, d_stats, g_opt, g_loss = g_update(None)
         metrics["g_loss"] = g_loss
 
         new_state = GANTrainState(

@@ -65,6 +65,30 @@ def test_wganvae_rna_gan_path():
     assert np.isfinite(imgs).all()
 
 
+def test_n_critic_schedule():
+    """n_critic=2: D updates every step, G only on every 2nd step (WGAN
+    critic schedule, arXiv:1701.07875 alg. 1); g_loss metric is 0 on
+    critic-only steps."""
+    cfg = GANConfig(model=MODEL32, loss_type="wgan", batch_size=8, n_critic=2)
+    trainer = GANTrainer(cfg)
+    state = trainer.init_state()
+    batch = {"image": tiles_to_float(_tiles(8))}
+    g0 = jax.device_get(state.g_params)
+
+    def changed(a, b):
+        return any(not np.allclose(x, y) for x, y in zip(
+            jax.tree_util.tree_leaves(a), jax.tree_util.tree_leaves(b)))
+
+    d0 = jax.device_get(state.d_params)
+    state, m1 = trainer._train_step(state, batch, None)  # step 0: critic only
+    g1, d1 = jax.device_get((state.g_params, state.d_params))
+    assert not changed(g0, g1) and float(m1["g_loss"]) == 0.0
+    assert changed(d0, d1)  # D updates every step
+    state, m2 = trainer._train_step(state, batch, None)  # step 1: G updates
+    g2 = jax.device_get(state.g_params)
+    assert changed(g1, g2) and np.isfinite(m2["g_loss"])
+
+
 def test_uint8_batch_ingest_matches_float():
     """A uint8 image batch (production streaming pipeline with emit_uint8)
     must produce the exact same step as the float batch: the trainer

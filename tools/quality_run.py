@@ -298,6 +298,8 @@ def main():
     p.add_argument("--compat_gp", action="store_true",
                    help="reference dynamics: separate GP Adam step, scalar eps, global norm")
     p.add_argument("--no_clip", action="store_true", help="disable the wgan +-0.01 weight clip")
+    p.add_argument("--n_critic", type=int, default=1,
+                   help="critic steps per G update (WGAN schedule; 1 = reference parity)")
     p.add_argument("--g_lr", type=float, default=None)
     p.add_argument("--d_lr", type=float, default=None)
     p.add_argument("--probe_train", action="store_true",
@@ -335,7 +337,7 @@ def main():
     model_cfg = GANModelConfig(out_size=args.size,
                                encoding_dims=vae_cfg.z_dim if args.loss_type == "wganvae" else 2048)
     cfg_kw = dict(model=model_cfg, loss_type=args.loss_type, batch_size=args.batch,
-                  vae=vae_cfg, compat_reference_gp=args.compat_gp)
+                  vae=vae_cfg, compat_reference_gp=args.compat_gp, n_critic=args.n_critic)
     if args.no_clip:
         cfg_kw["clip"] = None
     if args.g_lr is not None:
@@ -344,6 +346,14 @@ def main():
         cfg_kw["d_lr"] = args.d_lr
     cfg = GANConfig(**cfg_kw)
     trainer = GANTrainer(cfg, vae_variables=vae_vars)
+    if vae_vars is not None and not args.smoke:
+        # persist the pretrained VAE for downstream tools (representation
+        # analysis, data-plane runs) — async: the ~GB fetch rides the tunnel
+        # while the GAN warms up, same as checkpoint saves
+        trainer._saver.save_bundle(
+            os.path.join(args.workdir, "vae_pretrain.msgpack"),
+            {"vae": vae_vars}, {"vae_epochs": args.vae_epochs, "genes": args.genes,
+                                "corpus_seed": args.corpus_seed})
 
     steps_per_epoch = max((args.slides * args.tiles_per_slide) // args.batch, 1)
     run_epoch = make_epoch_program(trainer, corpus, expr_norm, args.batch)
@@ -380,7 +390,7 @@ def main():
             "steps_per_epoch": steps_per_epoch, "size": args.size,
             "fid_n": args.fid_n, "fid_floor_real_vs_real": round(probe.floor, 4),
             "compat_reference_gp": cfg.compat_reference_gp,
-            "clip": cfg.clip, "g_lr": cfg.g_lr, "d_lr": cfg.d_lr,
+            "clip": cfg.clip, "n_critic": cfg.n_critic, "g_lr": cfg.g_lr, "d_lr": cfg.d_lr,
             "backend": jax.devices()[0].platform,
             "device": str(jax.devices()[0])}
     print(f"[run] {meta}", flush=True)

@@ -1,0 +1,166 @@
+"""Conditioning proof: per-patient representation analysis at corpus scale.
+
+VERDICT r2 item 5: demonstrate the RNA-GAN's *point* — that tiles generated
+from a patient's expression profile are closer (in inception feature space)
+to THAT patient's real tiles than to other patients' — on the procedural
+corpus, end-to-end through the production APIs. This drives
+``eval/representation.compute_representations`` (the reference's
+``compute_representation.py:149-170`` equivalent) with:
+
+  * real tiles: held-out renders per slide (never seen in training),
+  * RNA-GAN tiles: the wganvae best checkpoint conditioned on each patient,
+  * GAN tiles: the plain-wgan best checkpoint (unconditional control),
+
+then reports the distance statistics: for each patient, is the RNA-GAN mean
+activation closer to its own patient's real mean activation than to other
+patients'? (The unconditional GAN is the chance-level control — one shared
+distribution, no patient identity.)
+
+Inputs come from a finished quality run (tools/quality_run.py) in --workdir:
+``wganvae_best.model``, ``wgan_best.model`` (or _last fallbacks) and
+``vae_pretrain.msgpack``.
+
+Usage:
+  python tools/representation_run.py --workdir runs/quality \
+      --out docs/quality/representations
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import jax
+import numpy as np
+
+try:  # noqa: E402
+    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+except Exception:
+    pass
+
+
+def pick_ckpt(workdir: str, name: str) -> str:
+    for suffix in ("best", "last"):
+        path = os.path.join(workdir, f"{name}_{suffix}.model")
+        if os.path.exists(path):
+            return path
+    raise FileNotFoundError(f"no {name}_best/_last.model in {workdir} — run tools/quality_run.py first")
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--workdir", default="runs/quality",
+                   help="quality-run output dir holding the checkpoints + VAE")
+    p.add_argument("--slides", type=int, default=200)
+    p.add_argument("--tiles_per_slide", type=int, default=600)
+    p.add_argument("--genes", type=int, default=19198)
+    p.add_argument("--size", type=int, default=256)
+    p.add_argument("--corpus_seed", type=int, default=0)
+    p.add_argument("--patients", type=int, default=50,
+                   help="number of corpus slides treated as patients")
+    p.add_argument("--tiles_per_patient", type=int, default=64)
+    p.add_argument("--out", default="docs/quality/representations")
+    args = p.parse_args()
+
+    from quality_run import build_corpus, normalized_expression
+
+    from rnagan_tpu.core.checkpoint import load_bundle
+    from rnagan_tpu.core.config import GANConfig, GANModelConfig, VAEModelConfig
+    from rnagan_tpu.eval.fid import InceptionExtractor
+    from rnagan_tpu.eval.representation import compute_representations
+    from rnagan_tpu.train.gan_trainer import GANTrainer
+
+    print(f"[setup] backend: {jax.devices()[0]}", flush=True)
+    t0 = time.time()
+    corpus = build_corpus(args)
+    expr_norm, _ = normalized_expression(corpus)
+    print(f"[setup] corpus + normalization {time.time() - t0:.0f}s", flush=True)
+
+    trees, meta = load_bundle(os.path.join(args.workdir, "vae_pretrain.msgpack"))
+    vae_vars = trees["vae"]
+    vae_cfg = VAEModelConfig(rna_features=args.genes, compute_dtype="bfloat16")
+    print(f"[setup] VAE pretrain loaded ({meta})", flush=True)
+
+    rna_cfg = GANConfig(model=GANModelConfig(out_size=args.size, encoding_dims=vae_cfg.z_dim),
+                        loss_type="wganvae", vae=vae_cfg)
+    gan_cfg = GANConfig(model=GANModelConfig(out_size=args.size), loss_type="wgan")
+    rna_trainer = GANTrainer(rna_cfg, vae_variables=vae_vars)
+    gan_trainer = GANTrainer(gan_cfg)
+    rna_path = pick_ckpt(args.workdir, "wganvae")
+    gan_path = pick_ckpt(args.workdir, "wgan")
+    rna_state = rna_trainer.load_model(rna_path)
+    gan_state = gan_trainer.load_model(gan_path)
+    print(f"[setup] GAN states: {rna_path}, {gan_path}", flush=True)
+
+    patients = [f"slide{i:04d}" for i in range(args.patients)]
+    pidx = {name: i for i, name in enumerate(patients)}
+    import jax.numpy as jnp
+
+    def real_tiles_fn(patient: str) -> np.ndarray:
+        i = pidx[patient]
+        sl = jnp.full((args.tiles_per_patient,), i, jnp.int32)
+        # held-out tile indices (never trained on; same range the FID probe uses)
+        ti = corpus.tiles_per_slide + jnp.arange(args.tiles_per_patient, dtype=jnp.int32) % corpus.HELDOUT_SPAN
+        return np.asarray(corpus.render(sl, ti))  # [-1,1]; to_unit_range handles it
+
+    def gene_fn(patient: str) -> np.ndarray:
+        return expr_norm[pidx[patient]]
+
+    extractor = InceptionExtractor(seed=0, dtype=jnp.float32)
+    t0 = time.time()
+    reps = compute_representations(
+        patients, real_tiles_fn, gene_fn,
+        rna_trainer, rna_state, gan_trainer, gan_state,
+        key=jax.random.key(1234), tiles_per_patient=args.tiles_per_patient,
+        extractor=extractor, save_dir=args.out)
+    print(f"[reps] {args.patients} patients x 3 sources in {time.time() - t0:.0f}s", flush=True)
+
+    # ---- distance statistics (whitened by the real set's per-dim stats:
+    # random-init inception features are ~1e-4 scale; one affine map applied
+    # to every source keeps distances well-conditioned without changing ranks
+    # within a source pair)
+    mu, sd = reps["real"].mean(0), reps["real"].std(0) + 1e-12
+    real_w = (reps["real"] - mu) / sd
+    tissue = np.asarray(corpus.slides.tissue)[: args.patients]
+
+    def stats(name):
+        fake_w = (reps[name] - mu) / sd
+        # D[i, j] = || fake_i - real_j ||
+        D = np.linalg.norm(fake_w[:, None, :] - real_w[None, :, :], axis=-1)
+        own = np.diag(D)
+        others = D + np.eye(len(D)) * np.inf
+        frac_own_closest = float(np.mean(np.argmin(D, axis=1) == np.arange(len(D))))
+        median_other = np.median(np.where(np.isinf(others), np.nan, others), axis=1)
+        margin = float(np.mean((median_other - own) / median_other))
+        # tissue-level: nearest real rep belongs to the same tissue class?
+        nn = np.argmin(D, axis=1)
+        frac_same_tissue = float(np.mean(tissue[nn] == tissue))
+        return {"frac_own_patient_closest": round(frac_own_closest, 4),
+                "chance_level": round(1.0 / len(D), 4),
+                "mean_margin_vs_median_other": round(margin, 4),
+                "frac_nearest_same_tissue": round(frac_same_tissue, 4),
+                "mean_own_distance": round(float(own.mean()), 4),
+                "mean_other_distance": round(float(np.nanmean(median_other)), 4)}
+
+    result = {
+        "meta": {"patients": args.patients, "tiles_per_patient": args.tiles_per_patient,
+                 "rna_ckpt": rna_path, "gan_ckpt": gan_path,
+                 "device": str(jax.devices()[0])},
+        "rnagan": stats("rnagan"),
+        "gan_control": stats("gan"),
+    }
+    os.makedirs(args.out, exist_ok=True)
+    with open(os.path.join(args.out, "distance_stats.json"), "w") as f:
+        json.dump(result, f, indent=1)
+    print(json.dumps(result, indent=1), flush=True)
+
+
+if __name__ == "__main__":
+    main()
