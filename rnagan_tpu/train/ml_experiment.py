@@ -227,6 +227,91 @@ class TileClassifierTrainer:
             best_state = state  # degenerate val metrics: final state is live
         return best_state, {"history": history, "best_val_acc": best_acc}
 
+    # ------------------------------------------------- TPU-resident variants
+    def fit_resident(self, images_u8, labels, val_images_u8, val_labels,
+                     state: Optional[MLTrainState] = None,
+                     verbose: bool = False) -> Tuple[MLTrainState, Dict[str, Any]]:
+        """Train with the ENTIRE uint8 tile set resident in device HBM: each
+        epoch is one scanned jitted program (shuffled full pass via an
+        on-device permutation, remainder dropped for static shapes), and the
+        only per-epoch host traffic is a 2-float metrics fetch + the val
+        accuracy. The host-feed :meth:`fit` moves a float32 batch over the
+        host link every step — at reference scale (5k tiles x 224^2, 40
+        epochs x 5 folds, ``ml_experiments.py:282-345``) that is the
+        bottleneck, not the ResNet. 5k tiles x 224^2 uint8 is ~750 MB: HBM-
+        resident easily."""
+        from functools import partial
+
+        cfg = self.cfg
+        batch = cfg.batch_size
+        images_dev = jnp.asarray(images_u8)
+        labels_dev = jnp.asarray(labels, jnp.int32)
+        n = images_dev.shape[0]
+        n_steps = max(n // batch, 1)
+        state = state if state is not None else self.init_state()
+
+        @partial(jax.jit, donate_argnums=(0,), static_argnums=(4,))
+        def run_epoch(st, key, images, labs, steps):
+            perm = jax.random.permutation(key, images.shape[0])
+            perm = perm[: steps * batch].reshape(steps, batch)
+            ones = jnp.ones((batch,), jnp.float32)
+
+            def body(s, idx):
+                x01 = images[idx].astype(jnp.float32) / 255.0
+                s, m = self._train_step_impl(s, x01, labs[idx], ones)
+                return s, jnp.stack([m["loss"].astype(jnp.float32),
+                                     m["acc"].astype(jnp.float32)])
+
+            st, ms = jax.lax.scan(body, st, perm)
+            return st, jnp.mean(ms, axis=0)
+
+        @jax.jit
+        def snapshot(st):
+            return jax.tree_util.tree_map(jnp.copy, st)
+
+        val_dev = jnp.asarray(val_images_u8)
+        best_acc, best_state, history = -1.0, None, []
+        for epoch in range(cfg.num_epochs):
+            key = jax.random.fold_in(self._base_key, 10_000 + epoch)
+            state, ms = run_epoch(state, key, images_dev, labels_dev, n_steps)
+            val_pred = self.predict_resident(val_dev, state)
+            val_acc = float(np.mean(val_pred == val_labels))
+            ms = np.asarray(ms)
+            history.append({"loss": float(ms[0]), "acc": float(ms[1]), "val_acc": val_acc})
+            self.logger.scalars("ml", history[-1], epoch)
+            if verbose:
+                print(f"  [ml epoch {epoch}] loss={ms[0]:.4f} acc={ms[1]:.4f} "
+                      f"val_acc={val_acc:.4f}", flush=True)
+            if val_acc > best_acc:
+                best_acc, best_state = val_acc, snapshot(state)
+        if best_state is None:
+            best_state = state
+        return best_state, {"history": history, "best_val_acc": best_acc}
+
+    def predict_resident(self, images_u8, state: MLTrainState) -> np.ndarray:
+        """Batched on-device prediction over a resident uint8 set (index
+        clamping pads the tail batch; excess rows dropped on host)."""
+        from functools import partial
+
+        batch = self.cfg.batch_size
+        images_dev = images_u8 if isinstance(images_u8, jax.Array) else jnp.asarray(images_u8)
+        n = int(images_dev.shape[0])
+        n_steps = -(-n // batch)
+
+        @partial(jax.jit, static_argnums=(2,))
+        def run(st, images, steps):
+            idxs = jnp.minimum(jnp.arange(steps * batch), images.shape[0] - 1)
+
+            def body(_, idx):
+                x01 = images[idx].astype(jnp.float32) / 255.0
+                pred, _ = self._eval_step_impl(st, x01)
+                return None, pred
+
+            _, preds = jax.lax.scan(body, None, idxs.reshape(steps, batch))
+            return preds.reshape(-1)
+
+        return np.asarray(run(state, images_dev, n_steps))[:n]
+
     def predict(self, images01: np.ndarray, state: MLTrainState) -> np.ndarray:
         preds = []
         for idx, mask in self._batches(len(images01), 0, False):

@@ -143,3 +143,24 @@ def test_tile_classifier_learns_separable_classes(rng):
     metrics = trainer.evaluate(images[32:], labels[32:], state)
     assert metrics["accuracy"] >= 0.75
     assert 0.0 <= metrics["weighted_f1"] <= 1.0
+
+
+def test_tile_classifier_resident_path(rng):
+    """fit_resident (HBM-resident uint8 set, scanned epochs) learns the same
+    separable task, and predict_resident agrees with the host-feed predict
+    on the identical state."""
+    n = 40
+    images = np.zeros((n, 32, 32, 3), np.uint8)
+    labels = (np.arange(n) % 2).astype(np.int64)
+    images[labels == 0] = 230 + (rng.rand(n // 2, 32, 32, 3) * 20).astype(np.uint8)
+    images[labels == 1] = 10 + (rng.rand(n // 2, 32, 32, 3) * 20).astype(np.uint8)
+
+    cfg = MLConfig(num_epochs=3, batch_size=16, folds=2, image_size=32, lr=1e-3)
+    model = ResNet(BasicBlock, (1, 1, 1, 1), num_classes=2, compute_dtype="float32")
+    trainer = TileClassifierTrainer(cfg, model=model)
+    state, res = trainer.fit_resident(images[:32], labels[:32], images[32:], labels[32:])
+    pred_res = trainer.predict_resident(images[32:], state)
+    assert np.mean(pred_res == labels[32:]) >= 0.75
+    pred_host = trainer.predict(images[32:].astype(np.float32) / 255.0, state)
+    np.testing.assert_array_equal(pred_res, pred_host)
+    assert res["best_val_acc"] >= 0.75

@@ -66,8 +66,11 @@ def main():
     p.add_argument("--patients", type=int, default=50,
                    help="number of corpus slides treated as patients")
     p.add_argument("--tiles_per_patient", type=int, default=64)
+    p.add_argument("--platform", default=None, help="force jax platform (e.g. cpu)")
     p.add_argument("--out", default="docs/quality/representations")
     args = p.parse_args()
+    if args.platform:
+        jax.config.update("jax_platforms", args.platform)
 
     from quality_run import build_corpus, normalized_expression
 
