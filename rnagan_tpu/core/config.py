@@ -92,6 +92,11 @@ class GANModelConfig:
     num_classes: int = 0  # condgan only (reference histopathology_gan.py:261-263)
     batchnorm: bool = True
     compute_dtype: str = "bfloat16"
+    #: compute schedule for the generator's stride-2 4x4 up-convs:
+    #: 'xla' = nn.ConvTranspose (lhs_dilation lowering), 'd2s' = phase-
+    #: decomposed stride-1 conv + depth-to-space (same math, same param tree,
+    #: no zero-stuffing work on the MXU — models/dcgan.ConvT4x4s2D2S).
+    convt_impl: str = "xla"
 
 
 @dataclass(frozen=True)

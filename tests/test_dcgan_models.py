@@ -107,3 +107,36 @@ def test_invalid_size_rejected():
         DCGANGenerator(GANModelConfig(out_size=100)).init(
             jax.random.key(0), jnp.zeros((1, 2048)), train=False
         )
+
+
+def test_convt_d2s_matches_xla_lowering():
+    """ConvT4x4s2D2S (phase-decomposed stride-1 conv + depth-to-space) must be
+    numerically identical to nn.ConvTranspose: same param tree, same init
+    draws, same forward, same grads — only the MXU schedule differs (no
+    lhs_dilation zero-stuffing)."""
+    import jax
+    import jax.numpy as jnp
+
+    from rnagan_tpu.core.config import GANModelConfig
+    from rnagan_tpu.models.dcgan import DCGANGenerator
+
+    z = jnp.asarray(np.random.RandomState(0).randn(4, 32).astype(np.float32))
+    variables, outs, models = [], [], []
+    for impl in ("xla", "d2s"):
+        cfg = GANModelConfig(out_size=32, step_channels=8, encoding_dims=32,
+                             compute_dtype="float32", convt_impl=impl)
+        m = DCGANGenerator(cfg)
+        v = m.init(jax.random.key(7), z)
+        models.append(m)
+        variables.append(v)
+        outs.append(np.asarray(m.apply(v, z, train=False)))
+    paths = [jax.tree_util.tree_leaves_with_path(v) for v in variables]
+    assert [str(p) for p, _ in paths[0]] == [str(p) for p, _ in paths[1]]
+    for (_, a), (_, b) in zip(*paths):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    np.testing.assert_allclose(outs[0], outs[1], atol=1e-5)
+    grads = [jax.grad(lambda v, mm=m: jnp.sum(mm.apply(v, z, train=False) ** 2))(vv)
+             for m, vv in zip(models, variables)]
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-4),
+        grads[0], grads[1])
