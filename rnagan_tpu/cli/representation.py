@@ -27,6 +27,10 @@ def build_parser():
     p.add_argument("--max_patients", type=int, default=None)
     p.add_argument("--num_patches", type=int, default=64)
     p.add_argument("--inception_weights", type=str, default=None)
+    p.add_argument("--condition_mode", choices=["reference", "population"], default="reference",
+                   help="RNA-GAN generation infusion: reference = the reference's per-batch "
+                        "standardization (cancels a single patient's z — discovered property); "
+                        "population = conditioning-preserving (z-population statistics)")
     p.add_argument("--save_dir", type=str, default="representations")
     p.add_argument("--gan_type", type=str, default=None,
                    help="architecture of the checkpoint(s); defaults to the config key or dcgan")
@@ -68,10 +72,16 @@ def main(argv=None):
 
     from rnagan_tpu.cli.common import load_inception_extractor
 
+    if args.condition_mode == "population" and rna_trainer.z_pop is None:
+        # checkpoint didn't bundle z-population stats: derive them from the
+        # run's own (normalized) expression matrix
+        rna_trainer.set_z_population(data.rna)
+
     reps = compute_representations(
         patients, real_tiles, gene, rna_trainer, rna_state, gan_trainer, gan_state,
         key=jax.random.key(args.seed), tiles_per_patient=args.tiles_per_patient,
         extractor=load_inception_extractor(args.inception_weights), save_dir=args.save_dir,
+        condition_mode=args.condition_mode,
     )
     print(f"wrote {args.save_dir}/representations_{{real,rnagan,gan}}.npy "
           f"({len(patients)} patients x 2048)")

@@ -39,11 +39,26 @@ def to_unit_range(images: np.ndarray) -> np.ndarray:
     return unnormalize(arr) if arr.min() < 0 else arr
 
 
-def generate_images(trainer, state, num_images: int, key, gene: Optional[np.ndarray] = None) -> np.ndarray:
+def generate_images(trainer, state, num_images: int, key, gene: Optional[np.ndarray] = None,
+                    condition_mode: str = "reference") -> np.ndarray:
     """Generate tiles in [0,1] NHWC. With ``gene`` (one patient's normalized
-    expression row), uses the RNA-infused prior (reference ``gan_utils.py:211-224``)."""
+    expression row), uses the RNA-infused prior (reference ``gan_utils.py:211-224``).
+
+    ``condition_mode``: 'reference' reproduces the reference's per-batch
+    standardization — which CANCELS a single patient's broadcast z exactly
+    (discovered property, see losses/rna_infusion.infused_noise_population);
+    'population' standardizes with training-population z statistics instead,
+    preserving the patient signal (needs ``trainer.z_pop``, set via
+    ``set_z_population`` or restored from a checkpoint that bundles it)."""
     gene_j = None if gene is None else jax.numpy.asarray(np.atleast_2d(gene))
-    imgs = trainer.sample(state, key, num_images, gene=gene_j)
+    z_pop = None
+    if gene_j is not None and condition_mode == "population":
+        if trainer.z_pop is None:
+            raise ValueError(
+                "condition_mode='population' needs trainer.z_pop — call "
+                "trainer.set_z_population(rna_matrix) or load a checkpoint that bundles it")
+        z_pop = trainer.z_pop
+    imgs = trainer.sample(state, key, num_images, gene=gene_j, z_pop=z_pop)
     return unnormalize(imgs)
 
 

@@ -33,10 +33,14 @@ def compute_representations(
     tiles_per_patient: int = 64,
     extractor: Optional[InceptionExtractor] = None,
     save_dir: Optional[str] = None,
+    condition_mode: str = "reference",
 ) -> Dict[str, np.ndarray]:
     """Returns {'real': (P,2048), 'rnagan': (P,2048), 'gan': (P,2048)} and
     optionally writes the three ``.npy`` files the reference produces
-    (``compute_representation.py:168-170``)."""
+    (``compute_representation.py:168-170``). ``condition_mode`` selects the
+    RNA-GAN generation-time infusion: 'population' preserves per-patient
+    conditioning; 'reference' reproduces the reference's batch
+    standardization, which cancels it (see eval/generate.generate_images)."""
     extractor = extractor or InceptionExtractor()
     reps = {"real": [], "rnagan": [], "gan": []}
     for i, patient in enumerate(patients):
@@ -45,7 +49,8 @@ def compute_representations(
         real = real_tiles_fn(patient)
         real01 = to_unit_range(real)
         gene = gene_fn(patient)
-        rna_imgs = generate_images(rna_trainer, rna_state, tiles_per_patient, k1, gene=gene)
+        rna_imgs = generate_images(rna_trainer, rna_state, tiles_per_patient, k1, gene=gene,
+                                   condition_mode=condition_mode)
         gan_imgs = generate_images(gan_trainer, gan_state, tiles_per_patient, k2)
         reps["real"].append(mean_activation(real01, extractor))
         reps["rnagan"].append(mean_activation(rna_imgs, extractor))

@@ -69,6 +69,25 @@ def test_population_stats_conditioning(trainers, rng):
     assert np.isfinite(a).all()
 
 
+def test_generate_images_population_mode(trainers, rng):
+    """condition_mode='population' threads trainer.z_pop through generation:
+    patients distinguishable, and an unset z_pop is a loud error."""
+    (rna_tr, rna_state), _ = trainers
+    gene = rng.randn(1, 20).astype(np.float32)
+    rna_tr.z_pop = None
+    with pytest.raises(ValueError, match="z_pop"):
+        generate_images(rna_tr, rna_state, 4, jax.random.key(1), gene=gene,
+                        condition_mode="population")
+    rna_tr.set_z_population(rng.randn(64, 20).astype(np.float32))
+    a = generate_images(rna_tr, rna_state, 4, jax.random.key(1), gene=gene,
+                        condition_mode="population")
+    b = generate_images(rna_tr, rna_state, 4, jax.random.key(1), gene=gene + 3.0,
+                        condition_mode="population")
+    assert a.shape == (4, 32, 32, 3) and a.min() >= 0.0 and a.max() <= 1.0
+    assert not np.allclose(a, b)  # conditioning survives (vs the reference-mode cancellation)
+    rna_tr.z_pop = None  # don't leak into other module-scoped-fixture tests
+
+
 def test_patient_grid_and_comparison(trainers, tmp_path, rng):
     (rna_tr, rna_state), (gan_tr, gan_state) = trainers
     gene = rng.randn(1, 20).astype(np.float32)

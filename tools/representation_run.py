@@ -16,6 +16,12 @@ activation closer to its own patient's real mean activation than to other
 patients'? (The unconditional GAN is the chance-level control — one shared
 distribution, no patient identity.)
 
+Generation runs in BOTH condition modes: 'population' (conditioning-
+preserving z-population standardization — the headline) and 'reference'
+(the reference's per-batch standardization, which cancels a single
+patient's broadcast z exactly; measuring it documents that discovered
+property — it should land at chance level, like the unconditional GAN).
+
 Inputs come from a finished quality run (tools/quality_run.py) in --workdir:
 ``wganvae_best.model``, ``wgan_best.model`` (or _last fallbacks) and
 ``vae_pretrain.msgpack``.
@@ -116,14 +122,27 @@ def main():
     def gene_fn(patient: str) -> np.ndarray:
         return expr_norm[pidx[patient]]
 
+    # conditioning-preserving generation needs z-population statistics over
+    # the training expression matrix (losses/rna_infusion.z_population_stats)
+    rna_trainer.set_z_population(expr_norm)
+
     extractor = InceptionExtractor(seed=0, dtype=jnp.float32)
     t0 = time.time()
     reps = compute_representations(
         patients, real_tiles_fn, gene_fn,
         rna_trainer, rna_state, gan_trainer, gan_state,
         key=jax.random.key(1234), tiles_per_patient=args.tiles_per_patient,
-        extractor=extractor, save_dir=args.out)
-    print(f"[reps] {args.patients} patients x 3 sources in {time.time() - t0:.0f}s", flush=True)
+        extractor=extractor, save_dir=args.out, condition_mode="population")
+    print(f"[reps population] {args.patients} patients x 3 sources "
+          f"in {time.time() - t0:.0f}s", flush=True)
+    t0 = time.time()
+    reps_ref = compute_representations(
+        patients, real_tiles_fn, gene_fn,
+        rna_trainer, rna_state, gan_trainer, gan_state,
+        key=jax.random.key(1234), tiles_per_patient=args.tiles_per_patient,
+        extractor=extractor, save_dir=os.path.join(args.out, "reference_mode"),
+        condition_mode="reference")
+    print(f"[reps reference-mode] in {time.time() - t0:.0f}s", flush=True)
 
     # ---- distance statistics (whitened by the real set's per-dim stats:
     # random-init inception features are ~1e-4 scale; one affine map applied
@@ -133,8 +152,8 @@ def main():
     real_w = (reps["real"] - mu) / sd
     tissue = np.asarray(corpus.slides.tissue)[: args.patients]
 
-    def stats(name):
-        fake_w = (reps[name] - mu) / sd
+    def stats(fake_reps):
+        fake_w = (fake_reps - mu) / sd
         # D[i, j] = || fake_i - real_j ||
         D = np.linalg.norm(fake_w[:, None, :] - real_w[None, :, :], axis=-1)
         own = np.diag(D)
@@ -156,8 +175,9 @@ def main():
         "meta": {"patients": args.patients, "tiles_per_patient": args.tiles_per_patient,
                  "rna_ckpt": rna_path, "gan_ckpt": gan_path,
                  "device": str(jax.devices()[0])},
-        "rnagan": stats("rnagan"),
-        "gan_control": stats("gan"),
+        "rnagan_population": stats(reps["rnagan"]),
+        "rnagan_reference_mode": stats(reps_ref["rnagan"]),
+        "gan_control": stats(reps["gan"]),
     }
     os.makedirs(args.out, exist_ok=True)
     with open(os.path.join(args.out, "distance_stats.json"), "w") as f:
