@@ -86,8 +86,13 @@ def main():
                    help="batches for the host-pipeline-only throughput probe")
     p.add_argument("--resident_steps", type=int, default=60,
                    help="steps for the device-only (resident batch) baseline")
+    p.add_argument("--limit_slides", type=int, default=None,
+                   help="use only the first N corpus slides (smoke runs)")
+    p.add_argument("--platform", default=None, help="force jax platform (e.g. cpu)")
     p.add_argument("--out", default="docs/quality/data_plane.json")
     args = p.parse_args()
+    if args.platform:
+        jax.config.update("jax_platforms", args.platform)
 
     import pandas as pd
 
@@ -98,6 +103,8 @@ def main():
 
     print(f"[setup] backend: {jax.devices()[0]}", flush=True)
     df = pd.read_csv(os.path.join(args.corpus, "expression.csv"))
+    if args.limit_slides:
+        df = df.iloc[: args.limit_slides].reset_index(drop=True)
     df["patch_data_path"] = args.corpus
     cols = rna_columns(df)
 

@@ -157,9 +157,11 @@ def main():
         # D[i, j] = || fake_i - real_j ||
         D = np.linalg.norm(fake_w[:, None, :] - real_w[None, :, :], axis=-1)
         own = np.diag(D)
-        others = D + np.eye(len(D)) * np.inf
+        # mask the own-patient column with NaN (0*inf in an eye-mask poisons
+        # off-diagonal entries) and reduce with the NaN-aware median
+        others = np.where(np.eye(len(D), dtype=bool), np.nan, D)
         frac_own_closest = float(np.mean(np.argmin(D, axis=1) == np.arange(len(D))))
-        median_other = np.median(np.where(np.isinf(others), np.nan, others), axis=1)
+        median_other = np.nanmedian(others, axis=1)
         margin = float(np.mean((median_other - own) / median_other))
         # tissue-level: nearest real rep belongs to the same tissue class?
         nn = np.argmin(D, axis=1)
