@@ -61,3 +61,50 @@ def compute_representations(
         for name, arr in out.items():
             np.save(os.path.join(save_dir, f"representations_{name}.npy"), arr)
     return out
+
+
+def distance_statistics(real_reps: np.ndarray, fake_reps: np.ndarray,
+                        labels: Optional[np.ndarray] = None) -> Dict[str, float]:
+    """Patient-identity statistics between per-patient mean-activation
+    matrices (both (P, D), row i = patient i).
+
+    The reference's conditioning claim (``compute_representation.py:149-170``)
+    is that RNA-GAN tiles generated from patient i's expression should sit
+    closer to patient i's REAL tiles than to other patients' in inception
+    feature space. Distances are whitened by the real set's per-dimension
+    mean/std — one affine map applied to every source, so ranks within a
+    source are unchanged but scales stay comparable across feature seeds.
+
+    Returns:
+      frac_own_patient_closest — P(argmin_j ||fake_i - real_j|| == i);
+        chance level is 1/P (an unconditional generator lands there).
+      mean_margin_vs_median_other — mean over i of
+        (median_j!=i D_ij - D_ii) / median_j!=i D_ij; positive = own-patient
+        distances are systematically below the field.
+      frac_nearest_same_label — with ``labels`` (e.g. tissue class), P(the
+        nearest real patient has the same label) — the coarser signal that
+        survives even when patient identity does not.
+    """
+    mu, sd = real_reps.mean(0), real_reps.std(0) + 1e-12
+    real_w = (real_reps - mu) / sd
+    fake_w = (fake_reps - mu) / sd
+    D = np.linalg.norm(fake_w[:, None, :] - real_w[None, :, :], axis=-1)
+    own = np.diag(D)
+    # mask the own-patient column with NaN and use NaN-aware reductions
+    # (an eye()*inf mask puts 0*inf = NaN in every OFF-diagonal entry)
+    others = np.where(np.eye(len(D), dtype=bool), np.nan, D)
+    median_other = np.nanmedian(others, axis=1)
+    out = {
+        "frac_own_patient_closest": round(float(
+            np.mean(np.argmin(D, axis=1) == np.arange(len(D)))), 4),
+        "chance_level": round(1.0 / len(D), 4),
+        "mean_margin_vs_median_other": round(float(
+            np.mean((median_other - own) / median_other)), 4),
+        "mean_own_distance": round(float(own.mean()), 4),
+        "mean_other_distance": round(float(np.nanmean(median_other)), 4),
+    }
+    if labels is not None:
+        labels = np.asarray(labels)
+        nn = np.argmin(D, axis=1)
+        out["frac_nearest_same_label"] = round(float(np.mean(labels[nn] == labels)), 4)
+    return out

@@ -150,6 +150,32 @@ def test_representations(trainers, rng):
     assert np.isfinite(reps["gan"]).all()
 
 
+def test_distance_statistics_identity_vs_chance(rng):
+    """Conditioned fakes (fake_i ~ real_i) must score frac_own_patient_closest
+    = 1.0 with a positive margin; an unconditional control (every fake drawn
+    from one shared distribution) must land near chance = 1/P. All statistics
+    must be finite (regression: an eye()*inf mask NaN-poisoned the
+    off-diagonal median)."""
+    from rnagan_tpu.eval.representation import distance_statistics
+
+    P, D = 16, 32
+    real = rng.randn(P, D).astype(np.float64)
+    conditioned = real + 0.01 * rng.randn(P, D)
+    unconditional = np.tile(real.mean(0), (P, 1)) + 0.01 * rng.randn(P, D)
+    labels = np.arange(P) % 2
+
+    s = distance_statistics(real, conditioned, labels=labels)
+    assert s["frac_own_patient_closest"] == 1.0
+    assert s["mean_margin_vs_median_other"] > 0.5
+    assert s["frac_nearest_same_label"] == 1.0
+    assert all(np.isfinite(v) for v in s.values())
+
+    u = distance_statistics(real, unconditional, labels=labels)
+    assert u["frac_own_patient_closest"] <= 0.25  # chance is 1/16
+    assert abs(u["mean_margin_vs_median_other"]) < 0.2
+    assert all(np.isfinite(v) for v in u.values())
+
+
 def test_unnormalize_roundtrip(rng):
     x = rng.rand(3, 4, 4, 3).astype(np.float32)
     np.testing.assert_allclose(unnormalize(x * 2 - 1), x, atol=1e-6)

@@ -144,34 +144,16 @@ def main():
         condition_mode="reference")
     print(f"[reps reference-mode] in {time.time() - t0:.0f}s", flush=True)
 
-    # ---- distance statistics (whitened by the real set's per-dim stats:
-    # random-init inception features are ~1e-4 scale; one affine map applied
-    # to every source keeps distances well-conditioned without changing ranks
-    # within a source pair)
-    mu, sd = reps["real"].mean(0), reps["real"].std(0) + 1e-12
-    real_w = (reps["real"] - mu) / sd
+    # ---- distance statistics (eval/representation.distance_statistics:
+    # whitened by the real set's per-dim stats — random-init inception
+    # features are ~1e-4 scale; one affine map applied to every source keeps
+    # distances well-conditioned without changing ranks within a source pair)
+    from rnagan_tpu.eval.representation import distance_statistics
+
     tissue = np.asarray(corpus.slides.tissue)[: args.patients]
 
     def stats(fake_reps):
-        fake_w = (fake_reps - mu) / sd
-        # D[i, j] = || fake_i - real_j ||
-        D = np.linalg.norm(fake_w[:, None, :] - real_w[None, :, :], axis=-1)
-        own = np.diag(D)
-        # mask the own-patient column with NaN (0*inf in an eye-mask poisons
-        # off-diagonal entries) and reduce with the NaN-aware median
-        others = np.where(np.eye(len(D), dtype=bool), np.nan, D)
-        frac_own_closest = float(np.mean(np.argmin(D, axis=1) == np.arange(len(D))))
-        median_other = np.nanmedian(others, axis=1)
-        margin = float(np.mean((median_other - own) / median_other))
-        # tissue-level: nearest real rep belongs to the same tissue class?
-        nn = np.argmin(D, axis=1)
-        frac_same_tissue = float(np.mean(tissue[nn] == tissue))
-        return {"frac_own_patient_closest": round(frac_own_closest, 4),
-                "chance_level": round(1.0 / len(D), 4),
-                "mean_margin_vs_median_other": round(margin, 4),
-                "frac_nearest_same_tissue": round(frac_same_tissue, 4),
-                "mean_own_distance": round(float(own.mean()), 4),
-                "mean_other_distance": round(float(np.nanmean(median_other)), 4)}
+        return distance_statistics(reps["real"], fake_reps, labels=tissue)
 
     result = {
         "meta": {"patients": args.patients, "tiles_per_patient": args.tiles_per_patient,
