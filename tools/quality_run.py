@@ -390,7 +390,11 @@ def main():
             "steps_per_epoch": steps_per_epoch, "size": args.size,
             "fid_n": args.fid_n, "fid_floor_real_vs_real": round(probe.floor, 4),
             "compat_reference_gp": cfg.compat_reference_gp,
-            "clip": cfg.clip, "n_critic": cfg.n_critic, "g_lr": cfg.g_lr, "d_lr": cfg.d_lr,
+            # effective clip: the trainer applies the weight clamp only for
+            # the plain wgan loss (gan_trainer.py; reference wires clip at
+            # histopathology_gan.py:267-271 for "wgan" only)
+            "clip": cfg.clip if cfg.loss_type == "wgan" else None,
+            "n_critic": cfg.n_critic, "g_lr": cfg.g_lr, "d_lr": cfg.d_lr,
             "backend": jax.devices()[0].platform,
             "device": str(jax.devices()[0])}
     print(f"[run] {meta}", flush=True)
