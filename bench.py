@@ -30,7 +30,10 @@ BATCH = 128
 N_SHORT, N_LONG = 2, 12
 # peak dense bf16 matmul throughput per chip, for the MFU figure
 PEAK_FLOPS = {"TPU v5 lite": 197e12, "TPU v4": 275e12, "TPU v5p": 459e12}
-TRAIN_BATCHES = (8, 64)  # reference batch (histopathology_gan.py:94) + scaled
+# reference batch (histopathology_gan.py:94) + scaled batches; the MFU-vs-
+# batch sweep (docs/PERF.md) shows the step is MXU-bound past b64 and crosses
+# 60% MFU at b128
+TRAIN_BATCHES = (8, 64, 128)
 
 try:
     jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")

@@ -19,6 +19,7 @@ Equivalents of the reference's five Dataset flavors (reference
 from __future__ import annotations
 
 import os
+import threading
 from dataclasses import dataclass
 from typing import Dict, Iterator, List, Optional, Tuple
 
@@ -199,6 +200,7 @@ class StreamingPatchBatches:
         prefetch_depth: int = 2,
         verbose: bool = False,
         emit_uint8: bool = False,
+        prewarm: bool = False,
     ):
         self.batch_size = batch_size
         self.with_rna = with_rna
@@ -235,6 +237,26 @@ class StreamingPatchBatches:
             for i in chosen:
                 self._entries.append((path, keys[i], label, sid))
 
+        # optional sequential page-cache prewarm of every store, in a
+        # background daemon thread: random tile reads over a cold multi-GB
+        # corpus are disk-seek-bound (~35x slower than warm decode, see
+        # LMDBTileStore.prewarm); a sequential pass advances the warm front
+        # at disk streaming bandwidth while the first batches already train
+        self._prewarm_thread: Optional[threading.Thread] = None
+        if prewarm:
+            stores = list(self._stores.values())
+
+            def _warm():
+                for st in stores:
+                    try:
+                        st.prewarm()
+                    except Exception:
+                        pass
+
+            self._prewarm_thread = threading.Thread(
+                target=_warm, name="corpus-prewarm", daemon=True)
+            self._prewarm_thread.start()
+
         # sniff the tile shape once so every batch can go through the native
         # fixed-shape bulk decoder (bounded scan; a corpus whose first 256
         # sampled entries are all corrupt is not a usable corpus)
@@ -247,6 +269,12 @@ class StreamingPatchBatches:
 
     def __len__(self):
         return -(-len(self._entries) // self.batch_size)
+
+    def wait_prewarm(self, timeout: Optional[float] = None) -> None:
+        """Block until the background page-cache prewarm completes (no-op if
+        ``prewarm=False``) — for benchmarks that want warm-cache numbers."""
+        if self._prewarm_thread is not None:
+            self._prewarm_thread.join(timeout)
 
     def close(self):
         for s in self._stores.values():

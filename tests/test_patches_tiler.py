@@ -174,7 +174,9 @@ def test_streaming_patch_batches(tmp_path, rng):
                      "rna_a": float(len(rows)), "rna_b": 1.0})
     df = pd.DataFrame(rows)
     stream = StreamingPatchBatches(df, batch_size=4, max_patches_total=5,
-                                   with_rna=True, with_labels=True, pad_to=4)
+                                   with_rna=True, with_labels=True, pad_to=4,
+                                   prewarm=True)
+    stream.wait_prewarm()
     batches = list(stream.epoch(0))
     assert len(batches) == len(stream) == 3  # 10 tiles -> 3 batches (padded)
     for b in batches:

@@ -242,3 +242,17 @@ def test_load_tiles_fixed_all_pickle_protocols(tmp_path, rng):
         assert ok.all()
         for i in range(len(keys)):
             np.testing.assert_array_equal(arr[i], img[..., ::-1])
+
+
+def test_prewarm_touches_whole_file(tmp_path, rng):
+    """prewarm must fault the entire backing file (returns its byte size)
+    and leave the store fully readable afterwards."""
+    path = str(tmp_path / "warm.db")
+    tiles = [rng.randint(0, 256, (16, 16, 3), dtype=np.uint8) for _ in range(8)]
+    _write_store(path, tiles)
+    with LMDBTileStore(path) as store:
+        assert store.prewarm() == os.path.getsize(path)
+        keys = store.keys()
+        arr, ok = store.load_tiles_fixed(keys, 16, 16)
+        assert ok.all()
+        np.testing.assert_array_equal(arr[0], tiles[0][..., ::-1])

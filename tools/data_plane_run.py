@@ -89,10 +89,19 @@ def main():
     p.add_argument("--limit_slides", type=int, default=None,
                    help="use only the first N corpus slides (smoke runs)")
     p.add_argument("--platform", default=None, help="force jax platform (e.g. cpu)")
+    p.add_argument("--prewarm", action="store_true",
+                   help="sequentially fault the corpus into page cache before "
+                        "the probes (random cold reads are disk-seek-bound)")
+    p.add_argument("--probe_only", action="store_true",
+                   help="host-pipeline probe only (no device work), then exit "
+                        "— for measuring warm-vs-cold host throughput")
     p.add_argument("--out", default="docs/quality/data_plane.json")
     args = p.parse_args()
     if args.platform:
         jax.config.update("jax_platforms", args.platform)
+    elif args.probe_only:
+        # the host probe never executes device work — stay off the chip
+        jax.config.update("jax_platforms", "cpu")
 
     import pandas as pd
 
@@ -116,17 +125,22 @@ def main():
 
     with_rna = args.loss_type == "wganvae"
     vae_vars, vae_cfg = (None, VAEModelConfig(rna_features=len(cols)))
-    if with_rna:
+    if with_rna and not args.probe_only:
         vae_vars, vae_cfg = pretrain_vae(df[cols].values.astype(np.float32), args.vae_epochs)
 
     t0 = time.time()
     batches = StreamingPatchBatches(
         df, batch_size=args.batch, max_patches_total=args.max_patches_total,
-        with_rna=with_rna, emit_uint8=True, prefetch_depth=4)
+        with_rna=with_rna, emit_uint8=True, prefetch_depth=4,
+        prewarm=args.prewarm)
     n_tiles = len(batches) * args.batch
     build_s = time.time() - t0
     print(f"[setup] streaming index: {n_tiles} tiles, {len(batches)} batches/epoch "
           f"({build_s:.1f}s)", flush=True)
+    if args.prewarm:
+        t0 = time.time()
+        batches.wait_prewarm()
+        print(f"[setup] corpus prewarm: {time.time() - t0:.1f}s", flush=True)
 
     # ---- host-pipeline-only probe (decode + batch assembly, no device)
     t0 = time.time()
@@ -140,6 +154,9 @@ def main():
     host_tiles_s = args.batch / host_s_per_batch
     print(f"[host] pipeline-only: {host_tiles_s:.0f} tiles/s "
           f"({host_s_per_batch * 1e3:.1f} ms/batch of {args.batch})", flush=True)
+    if args.probe_only:
+        batches.close()
+        return
 
     # ---- trainer
     cfg = GANConfig(model=GANModelConfig(), loss_type=args.loss_type,
