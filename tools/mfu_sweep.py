@@ -113,8 +113,11 @@ def measure(batch: int, fused_critic_batch: bool, convt_impl: str, vae_cfg, vae_
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--batches", type=int, nargs="+", default=[8, 64])
+    p.add_argument("--combos", nargs="+", default=None,
+                   help="subset of combo names to run (default: all)")
     p.add_argument("--out", default=None)
     args = p.parse_args()
+    combos = COMBOS if args.combos is None else [c for c in COMBOS if c[0] in args.combos]
 
     from rnagan_tpu.core.config import VAEModelConfig
     from rnagan_tpu.models.betavae import init_betavae
@@ -128,7 +131,7 @@ def main():
     results = {"device": str(dev), "peak_flops": peak, "rows": []}
     for batch in args.batches:
         base_flops = None
-        for name, levers in COMBOS:
+        for name, levers in combos:
             t0 = time.time()
             r = measure(batch, vae_cfg=vae_cfg, vae_vars=vae_vars, **levers)
             if r is None:
