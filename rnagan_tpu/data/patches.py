@@ -201,6 +201,7 @@ class StreamingPatchBatches:
         verbose: bool = False,
         emit_uint8: bool = False,
         prewarm: bool = False,
+        transfer=None,
     ):
         self.batch_size = batch_size
         self.with_rna = with_rna
@@ -211,6 +212,10 @@ class StreamingPatchBatches:
         #: ship raw uint8 tiles and let the jitted train step normalize on
         #: device (GANTrainer sniffs the dtype) — 4x less host->device traffic
         self.emit_uint8 = emit_uint8
+        #: optional per-batch callable run inside the prefetch thread — pass
+        #: ``jax.device_put`` so the host->device transfer of batch N+1
+        #: overlaps the device compute of batch N (see tiles.Prefetcher)
+        self.transfer = transfer
         rng = np.random.RandomState(seed)
         cols = rna_columns(df) if with_rna else []
 
@@ -340,7 +345,7 @@ class StreamingPatchBatches:
             ):
                 yield self._make_batch(idx)
 
-        return Prefetcher(gen(), depth=self.prefetch_depth)
+        return Prefetcher(gen(), depth=self.prefetch_depth, transfer=self.transfer)
 
 
 @dataclass

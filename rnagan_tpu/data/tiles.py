@@ -82,9 +82,17 @@ class TileBatches:
 class Prefetcher:
     """Threaded prefetch: decouples host-side batch assembly from the device
     step (the reference leans on 4 DataLoader workers for this,
-    ``histopathology_gan.py:164-168``)."""
+    ``histopathology_gan.py:164-168``).
 
-    def __init__(self, iterator: Iterator, depth: int = 2):
+    ``transfer``, when given, is applied to each item inside the worker
+    thread — pass ``jax.device_put`` (or ``parallel.mesh.shard_batch``) so the
+    host->device transfer of batch N+1 overlaps the device compute of batch N
+    instead of serializing inside the consumer's dispatch. On tunneled/remote
+    TPU backends the transfer RPC can exceed the step time itself, so this
+    overlap is the difference between transfer+compute and
+    max(transfer, compute) per step."""
+
+    def __init__(self, iterator: Iterator, depth: int = 2, transfer=None):
         self._q: "queue.Queue" = queue.Queue(maxsize=depth)
         self._sentinel = object()
         self._err: Optional[BaseException] = None
@@ -92,6 +100,8 @@ class Prefetcher:
         def run():
             try:
                 for item in iterator:
+                    if transfer is not None:
+                        item = transfer(item)
                     self._q.put(item)
             except BaseException as e:  # surfaced on next()
                 self._err = e

@@ -107,6 +107,11 @@ def shard_batch(batch: Any, mesh: Mesh) -> Any:
     multihost = jax.process_count() > 1
 
     def put(x):
+        if isinstance(x, jax.Array) and not multihost:
+            # already on device (e.g. transferred by a Prefetcher thread):
+            # device_put with the target sharding is a no-op when it already
+            # matches and an on-device reshard otherwise — never a host copy
+            return jax.device_put(x, batch_sharding(mesh, x.ndim))
         arr = np.asarray(x)
         sharding = batch_sharding(mesh, arr.ndim)
         if multihost:

@@ -166,6 +166,23 @@ def test_prefetcher_preserves_order_and_propagates_errors():
         list(pf)
 
 
+def test_prefetcher_transfer_runs_in_worker_thread():
+    import threading
+
+    seen_threads = []
+
+    def transfer(x):
+        seen_threads.append(threading.get_ident())
+        return x * 10
+
+    items = list(range(8))
+    out = list(Prefetcher(iter(items), transfer=transfer))
+    assert out == [x * 10 for x in items]
+    # the whole point of the hook: transfer (e.g. jax.device_put) happens in
+    # the prefetch thread so it overlaps the consumer's device compute
+    assert set(seen_threads) and threading.get_ident() not in set(seen_threads)
+
+
 def test_fit_eval_callback():
     cfg = GANConfig(model=MODEL32, loss_type="lsgan", batch_size=16, sample_size=4)
     trainer = GANTrainer(cfg)

@@ -110,3 +110,22 @@ def test_vae_2d_mesh_tensor_parallel(rng):
         r1["history"]["val"][0]["total_loss"], r2["history"]["val"][0]["total_loss"],
         rtol=1e-3, atol=1e-4,
     )
+
+
+def test_shard_batch_passes_device_arrays_through():
+    """A batch already transferred by a Prefetcher thread (jax.Array input)
+    must not bounce through the host: shard_batch reshards on device and the
+    result matches the numpy path exactly."""
+    devs = jax.devices()
+    mesh = make_mesh(MeshConfig(data=len(devs), model=1), devices=devs)
+    rng = np.random.RandomState(0)
+    batch = {
+        "image": rng.rand(16, 8, 8, 3).astype(np.float32),
+        "rna_data": rng.randn(16, 20).astype(np.float32),
+    }
+    from_np = shard_batch(batch, mesh)
+    pre_transferred = {k: jax.device_put(v) for k, v in batch.items()}
+    from_dev = shard_batch(pre_transferred, mesh)
+    for k in batch:
+        assert from_dev[k].sharding == from_np[k].sharding
+        np.testing.assert_array_equal(np.asarray(from_dev[k]), np.asarray(from_np[k]))

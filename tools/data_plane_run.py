@@ -177,6 +177,12 @@ def main():
     print(f"[xfer] device_put per batch: uint8 {xfer['uint8'] * 1e3:.1f} ms, "
           f"float32 {xfer['float32'] * 1e3:.1f} ms", flush=True)
 
+    # overlap host->device transfer with device compute: the Prefetcher
+    # thread device_puts batch N+1 while the chip runs batch N (on tunneled
+    # backends the transfer RPC can dominate the step, so this converts
+    # transfer+compute into max(transfer, compute))
+    batches.transfer = jax.device_put
+
     # ---- device-only baseline: resident batch, same jitted step
     resident = {k: jnp.asarray(v) for k, v in sample.items()}
     state, _ = trainer._train_step(state, resident, trainer.vae_variables)  # compile
