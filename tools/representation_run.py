@@ -74,6 +74,10 @@ def main():
     p.add_argument("--tiles_per_patient", type=int, default=64)
     p.add_argument("--platform", default=None, help="force jax platform (e.g. cpu)")
     p.add_argument("--out", default="docs/quality/representations")
+    p.add_argument("--ceiling_only", action="store_true",
+                   help="skip generation; compute the real-vs-real ceiling + the "
+                        "z-sensitivity diagnostic and merge them into an existing "
+                        "<out>/distance_stats.json")
     args = p.parse_args()
     if args.platform:
         jax.config.update("jax_platforms", args.platform)
@@ -83,6 +87,7 @@ def main():
     from rnagan_tpu.core.checkpoint import load_bundle
     from rnagan_tpu.core.config import GANConfig, GANModelConfig, VAEModelConfig
     from rnagan_tpu.eval.fid import InceptionExtractor
+    from rnagan_tpu.eval.generate import generate_images
     from rnagan_tpu.eval.representation import compute_representations
     from rnagan_tpu.train.gan_trainer import GANTrainer
 
@@ -105,19 +110,22 @@ def main():
     rna_path = pick_ckpt(args.workdir, "wganvae")
     gan_path = pick_ckpt(args.workdir, "wgan")
     rna_state = rna_trainer.load_model(rna_path)
-    gan_state = gan_trainer.load_model(gan_path)
+    if not args.ceiling_only:
+        gan_state = gan_trainer.load_model(gan_path)
     print(f"[setup] GAN states: {rna_path}, {gan_path}", flush=True)
 
     patients = [f"slide{i:04d}" for i in range(args.patients)]
     pidx = {name: i for i, name in enumerate(patients)}
     import jax.numpy as jnp
 
-    def real_tiles_fn(patient: str) -> np.ndarray:
-        i = pidx[patient]
-        sl = jnp.full((args.tiles_per_patient,), i, jnp.int32)
+    def _render_heldout(i: int, offset: int, count: int) -> np.ndarray:
+        sl = jnp.full((count,), i, jnp.int32)
         # held-out tile indices (never trained on; same range the FID probe uses)
-        ti = corpus.tiles_per_slide + jnp.arange(args.tiles_per_patient, dtype=jnp.int32) % corpus.HELDOUT_SPAN
+        ti = corpus.tiles_per_slide + (offset + jnp.arange(count, dtype=jnp.int32)) % corpus.HELDOUT_SPAN
         return np.asarray(corpus.render(sl, ti))  # [-1,1]; to_unit_range handles it
+
+    def real_tiles_fn(patient: str) -> np.ndarray:
+        return _render_heldout(pidx[patient], 0, args.tiles_per_patient)
 
     def gene_fn(patient: str) -> np.ndarray:
         return expr_norm[pidx[patient]]
@@ -127,44 +135,94 @@ def main():
     rna_trainer.set_z_population(expr_norm)
 
     extractor = InceptionExtractor(seed=0, dtype=jnp.float32)
-    t0 = time.time()
-    reps = compute_representations(
-        patients, real_tiles_fn, gene_fn,
-        rna_trainer, rna_state, gan_trainer, gan_state,
-        key=jax.random.key(1234), tiles_per_patient=args.tiles_per_patient,
-        extractor=extractor, save_dir=args.out, condition_mode="population")
-    print(f"[reps population] {args.patients} patients x 3 sources "
-          f"in {time.time() - t0:.0f}s", flush=True)
-    t0 = time.time()
-    reps_ref = compute_representations(
-        patients, real_tiles_fn, gene_fn,
-        rna_trainer, rna_state, gan_trainer, gan_state,
-        key=jax.random.key(1234), tiles_per_patient=args.tiles_per_patient,
-        extractor=extractor, save_dir=os.path.join(args.out, "reference_mode"),
-        condition_mode="reference")
-    print(f"[reps reference-mode] in {time.time() - t0:.0f}s", flush=True)
-
-    # ---- distance statistics (eval/representation.distance_statistics:
-    # whitened by the real set's per-dim stats — random-init inception
-    # features are ~1e-4 scale; one affine map applied to every source keeps
-    # distances well-conditioned without changing ranks within a source pair)
-    from rnagan_tpu.eval.representation import distance_statistics
+    # distance statistics (eval/representation.distance_statistics: whitened
+    # by the real set's per-dim stats — random-init inception features are
+    # ~1e-4 scale; one affine map applied to every source keeps distances
+    # well-conditioned without changing ranks within a source pair)
+    from rnagan_tpu.eval.representation import distance_statistics, mean_activation
 
     tissue = np.asarray(corpus.slides.tissue)[: args.patients]
+    stats_path = os.path.join(args.out, "distance_stats.json")
 
-    def stats(fake_reps):
-        return distance_statistics(reps["real"], fake_reps, labels=tissue)
+    if args.ceiling_only:
+        with open(stats_path) as f:
+            result = json.load(f)  # merge into the existing full run
+    else:
+        t0 = time.time()
+        reps = compute_representations(
+            patients, real_tiles_fn, gene_fn,
+            rna_trainer, rna_state, gan_trainer, gan_state,
+            key=jax.random.key(1234), tiles_per_patient=args.tiles_per_patient,
+            extractor=extractor, save_dir=args.out, condition_mode="population")
+        print(f"[reps population] {args.patients} patients x 3 sources "
+              f"in {time.time() - t0:.0f}s", flush=True)
+        t0 = time.time()
+        reps_ref = compute_representations(
+            patients, real_tiles_fn, gene_fn,
+            rna_trainer, rna_state, gan_trainer, gan_state,
+            key=jax.random.key(1234), tiles_per_patient=args.tiles_per_patient,
+            extractor=extractor, save_dir=os.path.join(args.out, "reference_mode"),
+            condition_mode="reference")
+        print(f"[reps reference-mode] in {time.time() - t0:.0f}s", flush=True)
 
-    result = {
-        "meta": {"patients": args.patients, "tiles_per_patient": args.tiles_per_patient,
-                 "rna_ckpt": rna_path, "gan_ckpt": gan_path,
-                 "device": str(jax.devices()[0])},
-        "rnagan_population": stats(reps["rnagan"]),
-        "rnagan_reference_mode": stats(reps_ref["rnagan"]),
-        "gan_control": stats(reps["gan"]),
+        def stats(fake_reps):
+            return distance_statistics(reps["real"], fake_reps, labels=tissue)
+
+        result = {
+            "meta": {"patients": args.patients, "tiles_per_patient": args.tiles_per_patient,
+                     "rna_ckpt": rna_path, "gan_ckpt": gan_path,
+                     "device": str(jax.devices()[0])},
+            "rnagan_population": stats(reps["rnagan"]),
+            "rnagan_reference_mode": stats(reps_ref["rnagan"]),
+            "gan_control": stats(reps["gan"]),
+        }
+
+    # ---- real-vs-real ceiling: two DISJOINT held-out halves per patient.
+    # This is the upper bound any generator could reach under this feature
+    # space + tile count: if half-B of a patient's own real tiles cannot be
+    # matched to half-A, no fake set can be expected to either. Halves use
+    # tiles_per_patient//2 tiles each, so the ceiling is measured at slightly
+    # HIGHER per-rep noise than the fake rows (which average the full count).
+    half = max(args.tiles_per_patient // 2, 1)
+    t0 = time.time()
+    real_a = np.stack([mean_activation(
+        (_render_heldout(i, 0, half) + 1.0) / 2.0, extractor) for i in range(args.patients)])
+    real_b = np.stack([mean_activation(
+        (_render_heldout(i, half, half) + 1.0) / 2.0, extractor) for i in range(args.patients)])
+    ceiling = distance_statistics(real_a, real_b, labels=tissue)
+    print(f"[ceiling] real-vs-real (disjoint halves of {half}) in {time.time() - t0:.0f}s",
+          flush=True)
+    result["real_vs_real_ceiling"] = ceiling
+
+    # ---- z-sensitivity: does the trained generator's output actually move
+    # with the conditioning input? Pixel-space, no feature extractor in the
+    # way. Same key => identical uniform noise draws, so the cross-patient
+    # delta isolates the z effect; the same-patient/different-key delta is
+    # the scale of ordinary noise-driven variation to compare against.
+    # (The WGAN critic is UNCONDITIONAL — nothing in training aligns the
+    # z->morphology map with the TRUE patient morphology, so output
+    # sensitivity to z is necessary but not sufficient for identity.)
+    t0 = time.time()
+    zkey = jax.random.key(77)
+    n_zp, n_zt = min(8, args.patients), 16
+    per_patient = [generate_images(rna_trainer, rna_state, n_zt, zkey,
+                                   gene=gene_fn(patients[i]), condition_mode="population")
+                   for i in range(n_zp)]
+    cross = [float(np.mean(np.abs(per_patient[i] - per_patient[j])))
+             for i in range(n_zp) for j in range(i + 1, n_zp)]
+    rerun = generate_images(rna_trainer, rna_state, n_zt, jax.random.fold_in(zkey, 1),
+                            gene=gene_fn(patients[0]), condition_mode="population")
+    noise_delta = float(np.mean(np.abs(per_patient[0] - rerun)))
+    result["z_sensitivity"] = {
+        "cross_patient_pixel_delta_same_noise": round(float(np.mean(cross)), 5),
+        "same_patient_pixel_delta_fresh_noise": round(noise_delta, 5),
+        "ratio": round(float(np.mean(cross)) / max(noise_delta, 1e-12), 4),
+        "patients": n_zp, "tiles": n_zt,
     }
+    print(f"[z-sensitivity] in {time.time() - t0:.0f}s", flush=True)
+
     os.makedirs(args.out, exist_ok=True)
-    with open(os.path.join(args.out, "distance_stats.json"), "w") as f:
+    with open(stats_path, "w") as f:
         json.dump(result, f, indent=1)
     print(json.dumps(result, indent=1), flush=True)
 
