@@ -95,6 +95,12 @@ def main():
     p.add_argument("--probe_only", action="store_true",
                    help="host-pipeline probe only (no device work), then exit "
                         "— for measuring warm-vs-cold host throughput")
+    p.add_argument("--overlap_ab", type=int, default=0, metavar="STEPS",
+                   help="bounded A/B of the transfer-overlap modes (no hook / "
+                        "async device_put in the prefetch thread / blocking "
+                        "device_put), interleaved x2 in ONE process so tunnel "
+                        "bandwidth drift between runs cannot masquerade as a "
+                        "mode effect")
     p.add_argument("--out", default="docs/quality/data_plane.json")
     args = p.parse_args()
     if args.platform:
@@ -194,6 +200,35 @@ def main():
     resident_ms = (time.time() - t0) / args.resident_steps * 1e3
     print(f"[device] resident-batch step: {resident_ms:.1f} ms", flush=True)
 
+    # ---- optional bounded overlap A/B (one process, interleaved reps)
+    overlap_ab = {}
+    if args.overlap_ab:
+        modes = {
+            "none": None,
+            "async_put": jax.device_put,
+            "blocking_put": lambda x: jax.block_until_ready(jax.device_put(x)),
+        }
+        ab = {k: [] for k in modes}
+        for rep in range(2):
+            for mname, hook in modes.items():
+                batches.transfer = hook
+                it = iter(batches.epoch(100 + rep))
+                state, m = trainer._train_step(state, next(it), trainer.vae_variables)
+                jax.block_until_ready(m["d_loss"])
+                t0 = time.time()
+                n = 0
+                for b in it:
+                    state, m = trainer._train_step(state, b, trainer.vae_variables)
+                    n += 1
+                    if n >= args.overlap_ab:
+                        break
+                jax.block_until_ready(m["d_loss"])
+                ab[mname].append((time.time() - t0) / max(n, 1) * 1e3)
+                print(f"[overlap-ab rep{rep}] {mname}: {ab[mname][-1]:.1f} ms/step",
+                      flush=True)
+        overlap_ab = {k: [round(v, 1) for v in vs] for k, vs in ab.items()}
+        batches.transfer = jax.device_put
+
     # ---- end-to-end: epochs through the streaming pipeline
     epochs = []
     for epoch in range(args.epochs):
@@ -211,7 +246,7 @@ def main():
         epochs.append(rec)
         print(f"[epoch {epoch}] " + " ".join(f"{k}={v}" for k, v in rec.items()), flush=True)
 
-    e2e_ms = epochs[-1]["step_ms"]
+    e2e_ms = epochs[-1]["step_ms"] if epochs else None
     result = {
         "meta": {"corpus": args.corpus, "slides": len(df), "tiles": n_tiles,
                  "batch": args.batch, "loss_type": args.loss_type,
@@ -222,9 +257,11 @@ def main():
         "device_put_ms": {k: round(v * 1e3, 2) for k, v in xfer.items()},
         "resident_step_ms": round(resident_ms, 2),
         "e2e_step_ms": e2e_ms,
-        "inflation_vs_resident": round(e2e_ms / resident_ms, 3),
+        "inflation_vs_resident": round(e2e_ms / resident_ms, 3) if e2e_ms else None,
         "epochs": epochs,
     }
+    if overlap_ab:
+        result["overlap_ab_ms"] = overlap_ab
     os.makedirs(os.path.dirname(args.out) or ".", exist_ok=True)
     with open(args.out, "w") as f:
         json.dump(result, f, indent=1)

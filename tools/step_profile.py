@@ -46,8 +46,10 @@ def timed_chain(make_body, carry0, *args):
     def run(n):
         jax.block_until_ready(chain(carry0, n, *args))
         r = chain(carry0, n, *args)
-        # force completion with a host fetch of one leaf
-        jax.tree_util.tree_map(lambda x: np.asarray(x).ravel()[0], r)
+        # force completion with a host fetch of ONE leaf — fetching the whole
+        # carry (e.g. the full train state for FULL_STEP) pulls hundreds of MB
+        # through the tunnel RPC and swamps the timing
+        np.asarray(jax.tree_util.tree_leaves(r)[0]).ravel()[:1]
 
     def t(n):
         run(n)
@@ -74,15 +76,20 @@ def main():
 
     batch = int(sys.argv[1]) if len(sys.argv) > 1 and sys.argv[1].isdigit() else 32
     fused_critic = "--fused-critic" in sys.argv
+    if "--cpu" in sys.argv:  # smoke/verify runs while the TPU tunnel is busy/down
+        jax.config.update("jax_platforms", "cpu")
+    # --smoke: 64px model so a CPU verification drive finishes in minutes;
+    # the stage structure (what's timed, how carries chain) is what's driven
+    size = 64 if "--smoke" in sys.argv else 256
 
     vae_cfg = VAEModelConfig(compute_dtype="bfloat16")
-    cfg = GANConfig(model=GANModelConfig(), loss_type="wganvae", batch_size=batch,
-                    vae=vae_cfg, fused_critic_batch=fused_critic)
+    cfg = GANConfig(model=GANModelConfig(out_size=size), loss_type="wganvae",
+                    batch_size=batch, vae=vae_cfg, fused_critic_batch=fused_critic)
     vae_vars = init_betavae(vae_cfg, jax.random.key(0))
     trainer = GANTrainer(cfg, vae_variables=vae_vars)
     state = trainer.init_state()
     rng = np.random.RandomState(0)
-    real = jnp.asarray(rng.rand(batch, 256, 256, 3).astype(np.float32) * 2 - 1)
+    real = jnp.asarray(rng.rand(batch, size, size, 3).astype(np.float32) * 2 - 1)
     gene = jnp.asarray(rng.randn(batch, vae_cfg.rna_features).astype(np.float32))
     noise = jnp.asarray(rng.randn(batch, 2048).astype(np.float32))
     key = jax.random.key(0)
@@ -94,7 +101,7 @@ def main():
     # 1. corpus render (quality-run input path)
     def render_body(c, i):
         sl = jax.random.randint(jax.random.fold_in(key, i + c), (batch,), 0, 8)
-        img = render_batch(corpus._render_key, corpus.slides.s[sl], sl * 16 + i, 256)
+        img = render_batch(corpus._render_key, corpus.slides.s[sl], sl * 16 + i, size)
         return c + jnp.mean(img).astype(jnp.int32) * 0
 
     results["render"] = timed_chain(render_body, jnp.int32(0))
@@ -123,7 +130,7 @@ def main():
 
     # 5. D loss + fused GP: grad wrt D params (the critic update's backward)
     eps = jax.random.uniform(key, (batch, 1, 1, 1))
-    fake = jnp.asarray(rng.rand(batch, 256, 256, 3).astype(np.float32) * 2 - 1)
+    fake = jnp.asarray(rng.rand(batch, size, size, 3).astype(np.float32) * 2 - 1)
     interp = eps * real + (1 - eps) * fake
 
     def d_update(c, i, dp, ds):
@@ -159,14 +166,35 @@ def main():
     results["g_loss_grad"] = timed_chain(
         g_update, jnp.float32(0), state.g_params, state.g_stats, state.d_params, state.d_stats)
 
-    # 7. the full step for reference
+    # 7. optimizer updates alone — batch-INDEPENDENT HBM traffic (Adam reads
+    # params + 2 moments and writes all three for BOTH nets). At small batch
+    # this fixed term is a floor no batching lever can touch.
+    import optax
+
+    def opt_body(carry, i):
+        gp, go, dp, do = carry
+        gg = jax.tree_util.tree_map(lambda p: p * 1e-9, gp)  # data-dependent grads
+        up, go = trainer.g_tx.update(gg, go, gp)
+        gp = optax.apply_updates(gp, up)
+        dg = jax.tree_util.tree_map(lambda p: p * 1e-9, dp)
+        up, do = trainer.d_tx.update(dg, do, dp)
+        dp = optax.apply_updates(dp, up)
+        return (gp, go, dp, do)
+
+    results["adam_updates(G+D)"] = timed_chain(
+        opt_body, (state.g_params, state.g_opt, state.d_params, state.d_opt))
+
+    # 8. the full step for reference
     def full(c, i, vv):
         st2, _ = trainer._train_step_impl(c, bd, vv)
         return st2
 
     results["FULL_STEP"] = timed_chain(full, state, trainer.vae_variables)
 
-    print(f"\nbatch={batch} fused_critic={fused_critic}")
+    n_gp = sum(x.size for x in jax.tree_util.tree_leaves(state.g_params))
+    n_dp = sum(x.size for x in jax.tree_util.tree_leaves(state.d_params))
+    print(f"\nbatch={batch} fused_critic={fused_critic} "
+          f"params: G={n_gp / 1e6:.1f}M D={n_dp / 1e6:.1f}M")
     for k, v in results.items():
         print(f"  {k:<20} {v * 1000:8.2f} ms")
 
