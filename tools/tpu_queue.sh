@@ -9,13 +9,16 @@ mkdir -p runs/tpu_queue
 
 log() { echo "[tpu_queue $(date +%H:%M:%S)] $*"; }
 
-# 0. gate: wait (bounded) for the tunnel to answer a device listing
+# 0. gate: wait for the tunnel to answer a device listing (indefinitely -
+# the whole queue is useless without it, and the driver bounds the session)
 log "probing TPU tunnel..."
-for i in $(seq 1 60); do
+i=0
+while true; do
+  i=$((i + 1))
   if timeout 120 python -c "import jax; jax.devices()" >/dev/null 2>&1; then
     log "tunnel is up (probe $i)"; break
   fi
-  if [ "$i" = 60 ]; then log "tunnel never came up; aborting"; exit 1; fi
+  [ $((i % 10)) = 0 ] && log "still down after $i probes"
   sleep 60
 done
 
