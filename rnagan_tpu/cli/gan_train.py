@@ -44,6 +44,10 @@ def build_parser():
                         "only evaluates post-hoc); logged into the epoch metrics")
     p.add_argument("--fid_images", type=int, default=128)
     p.add_argument("--inception_weights", type=str, default=None)
+    p.add_argument("--adam_mu_dtype", type=str, default=None,
+                   choices=("bfloat16", "float32"),
+                   help="dtype for Adam's first moment (bfloat16 halves that "
+                        "slice of optimizer HBM traffic; default keeps f32)")
     p.add_argument("--platform", type=str, default=None)
     return p
 
@@ -105,6 +109,7 @@ def main(argv=None):
         vae_checkpoint=args.vae_checkpoint or config.get("encoder_checkpoint"),
         compat_reference_gp=args.compat_reference_gp,
         n_critic=args.n_critic,
+        adam_mu_dtype=args.adam_mu_dtype,
         **({"clip": None} if args.no_clip else {}),
         seed=args.seed,
     )

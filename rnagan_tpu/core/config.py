@@ -137,6 +137,14 @@ class GANConfig:
     #: still updates D (+GP) on its own fresh batch; the G update runs on
     #: every n_critic-th step only.
     n_critic: int = 1
+    #: dtype for Adam's first-moment accumulators ("bfloat16" halves that
+    #: slice of the per-step optimizer HBM traffic — the batch-INDEPENDENT
+    #: floor the stage profile isolates as `adam_updates`; see docs/PERF.md).
+    #: The second moment stays float32: its EMA increment is (1-b2)=1e-3 of
+    #: the running value, below bf16's 8-bit mantissa, so a bf16 nu would
+    #: stop accumulating. mu's increment is (1-b1)=0.5 — safe in bf16.
+    #: None keeps the exact float32 reference dynamics.
+    adam_mu_dtype: Optional[str] = None
     sample_size: int = 64  # per-epoch sample grid (histopathology_gan.py:300)
     seed: int = 99
     mesh: MeshConfig = field(default_factory=MeshConfig)

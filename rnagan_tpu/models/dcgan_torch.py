@@ -213,8 +213,10 @@ def adam_state_dict(layout, params, opt_state, *, lr: float, betas=(0.5, 0.999),
         conv = _TO_TORCH[kind]
         state[i] = {
             "step": int(np.asarray(adam.count)),
-            "exp_avg": conv(_tree_get(adam.mu, path)),
-            "exp_avg_sq": conv(_tree_get(adam.nu, path)),
+            # torch Adam moments match the (f32) param dtype; up-cast here so a
+            # bf16 mu (GANConfig.adam_mu_dtype) exports as a valid torch bundle
+            "exp_avg": conv(np.asarray(_tree_get(adam.mu, path), np.float32)),
+            "exp_avg_sq": conv(np.asarray(_tree_get(adam.nu, path), np.float32)),
         }
     group = {"lr": lr, "betas": tuple(betas), "eps": eps, "weight_decay": 0,
              "amsgrad": False, "maximize": False, "foreach": None,
@@ -243,8 +245,11 @@ def adam_state_from_dict(layout, params, template_opt_state, sd) -> Any:
             continue
         conv = _FROM_TORCH[kind]
         step = int(np.asarray(entry["step"]))
-        _tree_set(mu, path, conv(entry["exp_avg"]).astype(np.float32))
-        _tree_set(nu, path, conv(entry["exp_avg_sq"]).astype(np.float32))
+        # cast to the template leaf dtype (mu may be bf16 under
+        # GANConfig.adam_mu_dtype; a dtype flip here would force an XLA
+        # recompile of the donated train step on the first post-restore step)
+        _tree_set(mu, path, conv(entry["exp_avg"]).astype(_tree_get(mu, path).dtype))
+        _tree_set(nu, path, conv(entry["exp_avg_sq"]).astype(_tree_get(nu, path).dtype))
     new_adam = optax.ScaleByAdamState(count=np.asarray(step, np.int32), mu=mu, nu=nu)
 
     def replace(node):

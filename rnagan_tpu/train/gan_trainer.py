@@ -122,9 +122,12 @@ class GANTrainer:
         #: conditioning-preserving generation mode; bundled into checkpoints
         self.z_pop: Optional[Tuple[np.ndarray, np.ndarray]] = None
 
-        # TTUR Adam (reference histopathology_gan.py:248-259)
-        self.g_tx = optax.adam(cfg.g_lr, b1=cfg.adam_b1, b2=cfg.adam_b2)
-        self.d_tx = optax.adam(cfg.d_lr, b1=cfg.adam_b1, b2=cfg.adam_b2)
+        # TTUR Adam (reference histopathology_gan.py:248-259). mu_dtype
+        # optionally drops the first moment to bf16 — see GANConfig.adam_mu_dtype
+        # for why nu must stay f32.
+        mu_dtype = jnp.dtype(cfg.adam_mu_dtype) if cfg.adam_mu_dtype else None
+        self.g_tx = optax.adam(cfg.g_lr, b1=cfg.adam_b1, b2=cfg.adam_b2, mu_dtype=mu_dtype)
+        self.d_tx = optax.adam(cfg.d_lr, b1=cfg.adam_b1, b2=cfg.adam_b2, mu_dtype=mu_dtype)
         self._train_step = jax.jit(self._train_step_impl, donate_argnums=(0,))
         self._sample = jax.jit(self._sample_impl, static_argnums=(2,))
         self._saver = AsyncSaver()

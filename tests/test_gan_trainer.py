@@ -107,6 +107,51 @@ def test_uint8_batch_ingest_matches_float():
         outs[0][0].g_params, outs[1][0].g_params)
 
 
+def test_adam_mu_bfloat16_roundtrip(tmp_path):
+    """``GANConfig.adam_mu_dtype="bfloat16"`` halves the first-moment HBM
+    slice: mu leaves land in bf16 (nu stays f32 — its (1-b2)=1e-3 EMA
+    increment is below bf16's mantissa), training stays finite, and both
+    checkpoint formats (msgpack bundle, torchgan ``.model``) round-trip
+    without a dtype flip (a flip would force an XLA recompile of the donated
+    train step on the first post-restore step)."""
+    import jax.numpy as jnp
+
+    from rnagan_tpu.models.dcgan_torch import (
+        _find_adam_state, export_torchgan_bundle, import_torchgan_bundle)
+
+    cfg = GANConfig(model=MODEL32, loss_type="wgan", batch_size=16, sample_size=4,
+                    adam_mu_dtype="bfloat16")
+    model_dir = str(tmp_path / "models")
+    trainer = GANTrainer(cfg, image_dir=str(tmp_path / "img"), model_dir=model_dir)
+    batches = TileBatches(tiles_to_float(_tiles()), batch_size=16, pad_to=8)
+    state, results = _run_steps(trainer, batches)
+    h = results["history"][0]
+    assert np.isfinite(h["d_loss"]) and np.isfinite(h["g_loss"])
+    adam = _find_adam_state(jax.device_get(state.d_opt))
+    assert all(x.dtype == jnp.bfloat16 for x in jax.tree_util.tree_leaves(adam.mu))
+    assert all(x.dtype == jnp.float32 for x in jax.tree_util.tree_leaves(adam.nu))
+
+    # msgpack bundle round-trip preserves the moment dtype
+    trainer2 = GANTrainer(cfg)
+    restored = trainer2.load_model(os.path.join(model_dir, "gan_last.model"))
+    r_adam = _find_adam_state(jax.device_get(restored.d_opt))
+    assert all(np.asarray(x).dtype == jnp.bfloat16
+               for x in jax.tree_util.tree_leaves(r_adam.mu))
+
+    # torchgan .model hop: torch sees f32 moments; the import casts back to
+    # the template's bf16. bf16 -> f32 -> bf16 is lossless, so values match
+    # bit-exactly.
+    path = str(tmp_path / "export.model")
+    export_torchgan_bundle(path, cfg, jax.device_get(state), epoch=1)
+    imported, _ = import_torchgan_bundle(path, cfg, trainer2.init_state())
+    i_adam = _find_adam_state(imported.d_opt)
+    i_leaves = jax.tree_util.tree_leaves(i_adam.mu)
+    assert all(np.asarray(x).dtype == jnp.bfloat16 for x in i_leaves)
+    for a, b in zip(jax.tree_util.tree_leaves(adam.mu), i_leaves):
+        np.testing.assert_array_equal(np.asarray(a, np.float32),
+                                      np.asarray(b, np.float32))
+
+
 def test_compat_reference_gp_mode():
     vae_vars = init_betavae(VAE_SMALL, jax.random.key(3))
     cfg = GANConfig(model=MODEL32, loss_type="wganvae", batch_size=16, sample_size=4,

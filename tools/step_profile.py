@@ -7,7 +7,11 @@ encode + infusion, G forward, D forward, fused D loss+GP grad, G update.
 The sum roughly reproduces the full step; the largest bars are where
 optimization effort should go.
 
-Usage: python tools/step_profile.py [batch] [--fused-critic]
+Usage: python tools/step_profile.py [batch] [--fused-critic] [--mu_bf16]
+
+``--mu_bf16`` sets GANConfig.adam_mu_dtype="bfloat16" — A/B it against the
+default to see how much of the batch-independent ``adam_updates`` floor is
+first-moment HBM traffic.
 """
 
 from __future__ import annotations
@@ -82,9 +86,11 @@ def main():
     # the stage structure (what's timed, how carries chain) is what's driven
     size = 64 if "--smoke" in sys.argv else 256
 
+    mu_bf16 = "--mu_bf16" in sys.argv
     vae_cfg = VAEModelConfig(compute_dtype="bfloat16")
     cfg = GANConfig(model=GANModelConfig(out_size=size), loss_type="wganvae",
-                    batch_size=batch, vae=vae_cfg, fused_critic_batch=fused_critic)
+                    batch_size=batch, vae=vae_cfg, fused_critic_batch=fused_critic,
+                    adam_mu_dtype="bfloat16" if mu_bf16 else None)
     vae_vars = init_betavae(vae_cfg, jax.random.key(0))
     trainer = GANTrainer(cfg, vae_variables=vae_vars)
     state = trainer.init_state()
@@ -193,7 +199,7 @@ def main():
 
     n_gp = sum(x.size for x in jax.tree_util.tree_leaves(state.g_params))
     n_dp = sum(x.size for x in jax.tree_util.tree_leaves(state.d_params))
-    print(f"\nbatch={batch} fused_critic={fused_critic} "
+    print(f"\nbatch={batch} fused_critic={fused_critic} mu_bf16={mu_bf16} "
           f"params: G={n_gp / 1e6:.1f}M D={n_dp / 1e6:.1f}M")
     for k, v in results.items():
         print(f"  {k:<20} {v * 1000:8.2f} ms")

@@ -49,3 +49,12 @@ log "bench.py"
 timeout 3600 python bench.py 2>&1 | tee runs/tpu_queue/bench.log
 
 log "queue complete"
+
+# 6. (appended mid-round) Adam bf16-first-moment A/B on the batch-independent
+#    optimizer floor — compare adam_updates + FULL_STEP vs jobs 1's f32 rows
+log "step_profile b8 --mu_bf16"
+timeout 2400 python tools/step_profile.py 8 --mu_bf16 2>&1 | tee runs/tpu_queue/profile_b8_mubf16.log
+log "step_profile b64 --mu_bf16"
+timeout 2400 python tools/step_profile.py 64 --mu_bf16 2>&1 | tee runs/tpu_queue/profile_b64_mubf16.log
+
+log "queue complete (appended jobs)"
