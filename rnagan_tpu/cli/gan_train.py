@@ -44,6 +44,9 @@ def build_parser():
                         "only evaluates post-hoc); logged into the epoch metrics")
     p.add_argument("--fid_images", type=int, default=128)
     p.add_argument("--inception_weights", type=str, default=None)
+    p.add_argument("--g_ema_decay", type=float, default=None,
+                   help="EMA decay for generator weights (e.g. 0.999); sampling "
+                        "and the FID probe then use the averaged generator")
     p.add_argument("--adam_mu_dtype", type=str, default=None,
                    choices=("bfloat16", "float32"),
                    help="dtype for Adam's first moment (bfloat16 halves that "
@@ -110,6 +113,7 @@ def main(argv=None):
         compat_reference_gp=args.compat_reference_gp,
         n_critic=args.n_critic,
         adam_mu_dtype=args.adam_mu_dtype,
+        g_ema_decay=args.g_ema_decay,
         **({"clip": None} if args.no_clip else {}),
         seed=args.seed,
     )

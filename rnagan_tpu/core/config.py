@@ -145,6 +145,15 @@ class GANConfig:
     #: stop accumulating. mu's increment is (1-b1)=0.5 — safe in bf16.
     #: None keeps the exact float32 reference dynamics.
     adam_mu_dtype: Optional[str] = None
+    #: exponential moving average of the generator weights (e.g. 0.999).
+    #: A standard GAN quality lever the reference lacks: the EMA generator
+    #: averages out the D/G oscillation and typically reaches a given FID in
+    #: fewer epochs than the raw weights. Tracked as ``GANTrainState.g_ema``
+    #: (updated only on steps where G itself updates, so the average is over
+    #: the G-update sequence and invariant to ``n_critic``); sampling and the
+    #: in-training FID probe use it automatically when enabled. None (default)
+    #: disables it — exact reference dynamics and state layout.
+    g_ema_decay: Optional[float] = None
     sample_size: int = 64  # per-epoch sample grid (histopathology_gan.py:300)
     seed: int = 99
     mesh: MeshConfig = field(default_factory=MeshConfig)

@@ -71,6 +71,9 @@ class GANTrainState(struct.PyTreeNode):
     d_params: Any
     d_stats: Any
     d_opt: Any
+    #: EMA of g_params (GANConfig.g_ema_decay); None when disabled — None is
+    #: an empty pytree, so the donated step's structure is unchanged
+    g_ema: Any = None
 
 
 def load_frozen_vae(path: str, vae_cfg) -> Dict[str, Any]:
@@ -129,7 +132,7 @@ class GANTrainer:
         self.g_tx = optax.adam(cfg.g_lr, b1=cfg.adam_b1, b2=cfg.adam_b2, mu_dtype=mu_dtype)
         self.d_tx = optax.adam(cfg.d_lr, b1=cfg.adam_b1, b2=cfg.adam_b2, mu_dtype=mu_dtype)
         self._train_step = jax.jit(self._train_step_impl, donate_argnums=(0,))
-        self._sample = jax.jit(self._sample_impl, static_argnums=(2,))
+        self._sample = jax.jit(self._sample_impl, static_argnums=(2, 6))
         self._saver = AsyncSaver()
 
     # ------------------------------------------------------------------ state
@@ -143,6 +146,10 @@ class GANTrainer:
             d_params=dv["params"],
             d_stats=dv.get("batch_stats", {}),
             d_opt=self.d_tx.init(dv["params"]),
+            # jnp.copy, NOT asarray: aliasing g_params' buffers would make the
+            # donated train step donate the same buffer twice
+            g_ema=(jax.tree_util.tree_map(jnp.copy, gv["params"])
+                   if self.cfg.g_ema_decay is not None else None),
         )
         return jax.device_put(state, replicated(self.mesh))
 
@@ -323,19 +330,30 @@ class GANTrainer:
             do_g = (state.step % cfg.n_critic) == (cfg.n_critic - 1)
             g_params, g_stats, d_stats, g_opt, g_loss = jax.lax.cond(do_g, g_update, g_skip, None)
         else:
+            do_g = None
             g_params, g_stats, d_stats, g_opt, g_loss = g_update(None)
         metrics["g_loss"] = g_loss
+
+        g_ema = state.g_ema
+        if cfg.g_ema_decay is not None:
+            # blend only on steps where G actually updated: the EMA is over
+            # the G-update sequence, invariant to the critic schedule
+            blend = cfg.g_ema_decay if do_g is None else jnp.where(do_g, cfg.g_ema_decay, 1.0)
+            g_ema = jax.tree_util.tree_map(
+                lambda e, p: e * blend + (1.0 - blend) * p, state.g_ema, g_params)
 
         new_state = GANTrainState(
             step=state.step + 1,
             g_params=g_params, g_stats=g_stats, g_opt=g_opt,
             d_params=d_params, d_stats=d_stats, d_opt=d_opt,
+            g_ema=g_ema,
         )
         return new_state, metrics
 
     # -------------------------------------------------------------- sampling
     def _sample_impl(self, state: GANTrainState, key, n: int, gene: Optional[jax.Array] = None,
-                     z_pop: Optional[Tuple[jax.Array, jax.Array]] = None, vae_variables=None):
+                     z_pop: Optional[Tuple[jax.Array, jax.Array]] = None, vae_variables=None,
+                     use_ema: bool = False):
         """Generate n images in eval mode. With ``gene`` (wganvae), noise is
         the infusion prior broadcast from a patient's z_mean (reference
         ``gan_utils.py:211-216``). NOTE (discovered reference property): with a
@@ -358,16 +376,29 @@ class GANTrainer:
         labels = None
         if self.cfg.model.arch == "condgan":
             labels = jax.random.randint(jax.random.fold_in(key, 1), (n,), 0, self.cfg.model.num_classes)
+        # EMA sampling keeps the raw weights' running BN stats: batch_stats
+        # are already exponential averages, and the EMA tree tracks params only
+        params = state.g_ema if use_ema else state.g_params
         imgs = self.generator.apply(
-            {"params": state.g_params, "batch_stats": state.g_stats},
+            {"params": params, "batch_stats": state.g_stats},
             noise, labels=labels, train=False,
         )
         return imgs
 
-    def sample(self, state: GANTrainState, key, n: int, gene=None, z_pop=None) -> np.ndarray:
+    def sample(self, state: GANTrainState, key, n: int, gene=None, z_pop=None,
+               use_ema: Optional[bool] = None) -> np.ndarray:
+        """Generate ``n`` images. ``use_ema=None`` (default) auto-selects the
+        EMA generator whenever the state carries one (GANConfig.g_ema_decay);
+        pass False to force the raw training weights."""
         if z_pop is not None:
             z_pop = (jnp.asarray(z_pop[0], jnp.float32), jnp.asarray(z_pop[1], jnp.float32))
-        return np.asarray(jax.device_get(self._sample(state, key, n, gene, z_pop, self.vae_variables)))
+        if use_ema is None:
+            use_ema = state.g_ema is not None
+        elif use_ema and state.g_ema is None:
+            raise ValueError("use_ema=True but the state carries no EMA tree "
+                             "(set GANConfig.g_ema_decay)")
+        return np.asarray(jax.device_get(
+            self._sample(state, key, n, gene, z_pop, self.vae_variables, bool(use_ema))))
 
     def set_z_population(self, rna_matrix: np.ndarray) -> None:
         """Compute and retain z-population statistics over the (normalized)
@@ -388,6 +419,8 @@ class GANTrainer:
             "d_params": state.d_params, "d_stats": state.d_stats, "d_opt": state.d_opt,
             "step": state.step,
         }
+        if state.g_ema is not None:
+            trees["g_ema"] = state.g_ema
         if self.z_pop is not None:
             trees["z_pop"] = {"mean": np.asarray(self.z_pop[0]), "std": np.asarray(self.z_pop[1])}
         if async_:
@@ -409,6 +442,11 @@ class GANTrainer:
 
             template = self.init_state()
             state, _epoch = import_torchgan_bundle(path, self.cfg, jax.device_get(template))
+            if template.g_ema is not None:
+                # torchgan bundles carry no EMA (our extension): seed it from
+                # the imported weights, as a fresh EMA run would
+                state = state.replace(
+                    g_ema=jax.tree_util.tree_map(np.array, state.g_params))
             return jax.device_put(state, replicated(self.mesh))
         template = self.init_state()
         targets = {
@@ -416,13 +454,22 @@ class GANTrainer:
             "d_params": template.d_params, "d_stats": template.d_stats, "d_opt": template.d_opt,
             "step": template.step,
         }
+        if template.g_ema is not None:
+            targets["g_ema"] = template.g_ema
         trees, _ = load_bundle(path, targets)
         if "z_pop" in trees:
             self.z_pop = (np.asarray(trees["z_pop"]["mean"]), np.asarray(trees["z_pop"]["std"]))
+        g_ema = None
+        if template.g_ema is not None:
+            # EMA-less bundle into an EMA-enabled trainer: seed from the
+            # loaded weights (an EMA-carrying bundle into an EMA-off trainer
+            # simply drops the tree)
+            g_ema = trees.get("g_ema", jax.tree_util.tree_map(np.array, trees["g_params"]))
         state = GANTrainState(
             step=jnp.asarray(trees["step"], jnp.int32),
             g_params=trees["g_params"], g_stats=trees["g_stats"], g_opt=trees["g_opt"],
             d_params=trees["d_params"], d_stats=trees["d_stats"], d_opt=trees["d_opt"],
+            g_ema=g_ema,
         )
         return jax.device_put(state, replicated(self.mesh))
 

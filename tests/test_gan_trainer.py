@@ -107,6 +107,67 @@ def test_uint8_batch_ingest_matches_float():
         outs[0][0].g_params, outs[1][0].g_params)
 
 
+def test_generator_ema(tmp_path):
+    """``GANConfig.g_ema_decay``: g_ema is the exact EMA of the G-update
+    sequence (matches a manual recomputation), gates on the n_critic schedule,
+    auto-selects at sampling, and round-trips through bundles — including
+    seeding from an EMA-less bundle."""
+    import jax.numpy as jnp
+
+    decay, n_critic, steps = 0.5, 2, 4
+    cfg = GANConfig(model=MODEL32, loss_type="wgan", batch_size=8, sample_size=4,
+                    n_critic=n_critic, g_ema_decay=decay)
+    trainer = GANTrainer(cfg)
+    state = trainer.init_state()
+    rng = np.random.RandomState(0)
+
+    expected = jax.device_get(state.g_params)  # EMA seeds at init params
+    for i in range(steps):
+        batch = {"image": rng.rand(8, 32, 32, 3).astype(np.float32) * 2 - 1}
+        state, _ = trainer._train_step(state, batch, None)
+        if i % n_critic == n_critic - 1:  # G updated this step
+            new_p = jax.device_get(state.g_params)
+            expected = jax.tree_util.tree_map(
+                lambda e, p: e * decay + (1 - decay) * p, expected, new_p)
+        else:  # G skipped: EMA must not drift
+            pass
+        jax.tree_util.tree_map(
+            lambda e, a: np.testing.assert_allclose(e, np.asarray(a), rtol=1e-6, atol=1e-7),
+            expected, jax.device_get(state.g_ema))
+
+    # sampling auto-selects the EMA generator; use_ema=False forces raw
+    key = jax.random.key(7)
+    auto = trainer.sample(state, key, 2)
+    raw = trainer.sample(state, key, 2, use_ema=False)
+    ema_manual = trainer.generator.apply(
+        {"params": jax.device_get(state.g_ema), "batch_stats": jax.device_get(state.g_stats)},
+        jax.random.normal(key, (2, MODEL32.encoding_dims), jnp.float32), labels=None, train=False)
+    np.testing.assert_allclose(auto, np.asarray(ema_manual), atol=1e-5)
+    assert np.abs(auto - raw).max() > 1e-4  # EMA and raw weights genuinely differ
+
+    # bundle round-trip preserves the EMA tree
+    path = str(tmp_path / "ema.model")
+    trainer.save_model(state, path)
+    restored = GANTrainer(cfg).load_model(path)
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_array_equal(np.asarray(a), np.asarray(b)),
+        jax.device_get(state.g_ema), jax.device_get(restored.g_ema))
+
+    # an EMA-carrying bundle into an EMA-off trainer drops the tree...
+    off = GANTrainer(GANConfig(model=MODEL32, loss_type="wgan", batch_size=8))
+    st_off = off.load_model(path)
+    assert st_off.g_ema is None
+    with pytest.raises(ValueError):
+        off.sample(st_off, key, 2, use_ema=True)
+    # ...and an EMA-less bundle into an EMA-on trainer seeds EMA = params
+    path2 = str(tmp_path / "plain.model")
+    off.save_model(st_off, path2)
+    seeded = GANTrainer(cfg).load_model(path2)
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_array_equal(np.asarray(a), np.asarray(b)),
+        jax.device_get(seeded.g_params), jax.device_get(seeded.g_ema))
+
+
 def test_adam_mu_bfloat16_roundtrip(tmp_path):
     """``GANConfig.adam_mu_dtype="bfloat16"`` halves the first-moment HBM
     slice: mu leaves land in bf16 (nu stays f32 — its (1-b2)=1e-3 EMA

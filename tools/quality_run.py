@@ -204,6 +204,12 @@ def make_fid_probe(trainer, corpus, expr_norm, args):
         return extractor._features(extractor.variables, (imgs + 1.0) * 0.5)
 
     def fake_images(state, key, vae_vars, train_mode=False):
+        # eval-mode probing scores the EMA generator when the run tracks one
+        # (--g_ema_decay) — same auto-selection as GANTrainer.sample; the
+        # train_mode diagnostic always uses the raw weights
+        g_params = state.g_params
+        if not train_mode and state.g_ema is not None:
+            g_params = state.g_ema
         if expr_dev is not None:
             sl = jax.random.randint(jax.random.fold_in(key, 1), (chunk,), 0, corpus.n_slides)
             z_mean = encode_z_mean(trainer.vae, vae_vars, expr_dev[sl])
@@ -214,11 +220,11 @@ def make_fid_probe(trainer, corpus, expr_norm, args):
             # batch-stat BN (diagnostic): separates "G is broken" from "G's
             # running stats are broken" when eval-mode samples look off
             imgs, _ = trainer.generator.apply(
-                {"params": state.g_params, "batch_stats": state.g_stats},
+                {"params": g_params, "batch_stats": state.g_stats},
                 noise, labels=None, train=True, mutable=["batch_stats"])
         else:
             imgs = trainer.generator.apply(
-                {"params": state.g_params, "batch_stats": state.g_stats},
+                {"params": g_params, "batch_stats": state.g_stats},
                 noise, labels=None, train=False)
         return jnp.clip((imgs.astype(jnp.float32) + 1.0) * 0.5, 0.0, 1.0)
 
@@ -302,6 +308,9 @@ def main():
                    help="critic steps per G update (WGAN schedule; 1 = reference parity)")
     p.add_argument("--g_lr", type=float, default=None)
     p.add_argument("--d_lr", type=float, default=None)
+    p.add_argument("--g_ema_decay", type=float, default=None,
+                   help="generator weight EMA (e.g. 0.999); the FID probe and "
+                        "grids then evaluate the averaged generator")
     p.add_argument("--probe_train", action="store_true",
                    help="also record FID with train-mode (batch-stat) BN in G")
     args = p.parse_args()
@@ -337,7 +346,8 @@ def main():
     model_cfg = GANModelConfig(out_size=args.size,
                                encoding_dims=vae_cfg.z_dim if args.loss_type == "wganvae" else 2048)
     cfg_kw = dict(model=model_cfg, loss_type=args.loss_type, batch_size=args.batch,
-                  vae=vae_cfg, compat_reference_gp=args.compat_gp, n_critic=args.n_critic)
+                  vae=vae_cfg, compat_reference_gp=args.compat_gp, n_critic=args.n_critic,
+                  g_ema_decay=args.g_ema_decay)
     if args.no_clip:
         cfg_kw["clip"] = None
     if args.g_lr is not None:
@@ -395,6 +405,7 @@ def main():
             # histopathology_gan.py:267-271 for "wgan" only)
             "clip": cfg.clip if cfg.loss_type == "wgan" else None,
             "n_critic": cfg.n_critic, "g_lr": cfg.g_lr, "d_lr": cfg.d_lr,
+            "g_ema_decay": cfg.g_ema_decay,
             "backend": jax.devices()[0].platform,
             "device": str(jax.devices()[0])}
     print(f"[run] {meta}", flush=True)
