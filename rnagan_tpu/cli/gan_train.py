@@ -24,8 +24,10 @@ def build_parser():
     p.add_argument("--num_epochs", type=int, default=None)
     p.add_argument("--num_patches", type=int, default=250, help="tiles per slide")
     p.add_argument("--gan_type", type=str, default="dcgan",
-                   help="dcgan | dcgan_up | condgan (the reference's biggan/sagan import "
-                        "missing modules and never ran; SURVEY.md 2.5)")
+                   help="dcgan | dcgan_up | condgan | sagan | biggan (the reference "
+                        "registers sagan/biggan but imports missing modules — "
+                        "histopathology_gan.py:211-244; built here as the intended "
+                        "attention families)")
     p.add_argument("--loss_type", type=str, default="wganvae",
                    help="minimax | wgan | wganvae | lsgan")
     p.add_argument("--vae_checkpoint", type=str, default=None,
@@ -88,13 +90,19 @@ def main(argv=None):
                            quick=bool(config.get("quick", False)), with_rna=with_rna)
     print(f"Loaded {len(data)} tiles from {len(data.slides)} slides")
 
-    num_classes = len(config["path_csv"]) if args.gan_type == "condgan" else 0
+    # condgan/biggan are class-conditional over the tissue CSVs (the reference
+    # biggan wiring's n_classes=2 at histopathology_gan.py:224 is its 2 CSVs);
+    # sagan is unconditional with step_channels=32 (:235-244)
+    conditional = args.gan_type in ("condgan", "biggan")
+    num_classes = len(config["path_csv"]) if conditional else 0
     model_cfg = GANModelConfig(
         arch=args.gan_type,
         out_size=int(config.get("img_size", 256)),
         encoding_dims=int(config.get("encoding_dims", 2048)),
-        step_channels=int(config.get("step_channels", 32 if args.gan_type == "condgan" else 64)),
+        step_channels=int(config.get("step_channels",
+                                     32 if args.gan_type in ("condgan", "sagan") else 64)),
         num_classes=num_classes,
+        attn_size=int(config.get("attn_size", 32)),
         compute_dtype=str(config.get("compute_dtype", "bfloat16")),
     )
     vae_model = VAEModelConfig(
@@ -144,7 +152,7 @@ def main(argv=None):
 
     n_dev = trainer.mesh.devices.size
     batches = PatchBatches(data, batch_size=cfg.batch_size, with_rna=with_rna,
-                           with_labels=args.gan_type == "condgan", seed=args.seed, pad_to=n_dev)
+                           with_labels=conditional, seed=args.seed, pad_to=n_dev)
     state, results = trainer.fit(lambda e: batches.epoch(e), state=state,
                                  auto_resume=args.auto_resume,
                                  eval_fn=eval_fn, eval_every=args.fid_every,

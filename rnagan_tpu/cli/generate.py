@@ -24,13 +24,15 @@ def build_parser():
     p.add_argument("--config", type=str, required=True)
     p.add_argument("--checkpoint", type=str, required=True, help="RNA-GAN .model bundle")
     p.add_argument("--checkpoint2", type=str, default=None, help="unconditional GAN bundle for comparison")
-    p.add_argument("--vae", type=str, required=True, help="beta-VAE checkpoint")
+    p.add_argument("--vae", type=str, default=None,
+                   help="beta-VAE checkpoint (required for RNA-GAN/wganvae bundles; "
+                        "omit to sample a plain-GAN checkpoint unconditionally)")
     p.add_argument("--rna_file", type=str, default=None, help="CSV with rna_ columns (e.g. GEO data)")
     p.add_argument("--random_patient", action="store_true", help="sample one row from --rna_file")
     p.add_argument("--patient", type=str, default=None, help="wsi_file_name to condition on")
     p.add_argument("--gan_type", type=str, default=None,
-                   help="architecture of the checkpoint (dcgan | dcgan_up | condgan); "
-                        "defaults to the config's gan_type key or dcgan")
+                   help="architecture of the checkpoint (dcgan | dcgan_up | condgan | "
+                        "sagan | biggan); defaults to the config's gan_type key or dcgan")
     p.add_argument("--sample_size", type=int, default=64)
     p.add_argument("--save_path", type=str, default="generated.png")
     p.add_argument("--save_dir", type=str, default="generated")
@@ -47,13 +49,15 @@ def _load_trainer(cfg_json, ckpt, vae_path, args):
     from rnagan_tpu.train.gan_trainer import GANTrainer
 
     arch = getattr(args, "gan_type", None) or cfg_json.get("gan_type", "dcgan")
-    num_classes = len(cfg_json.get("path_csv", ())) if arch == "condgan" else 0
+    num_classes = len(cfg_json.get("path_csv", ())) if arch in ("condgan", "biggan") else 0
     model_cfg = GANModelConfig(
         arch=arch,
         out_size=int(cfg_json.get("img_size", 256)),
         encoding_dims=int(cfg_json.get("encoding_dims", 2048)),
-        step_channels=int(cfg_json.get("step_channels", 32 if arch == "condgan" else 64)),
+        step_channels=int(cfg_json.get("step_channels",
+                                       32 if arch in ("condgan", "sagan") else 64)),
         num_classes=num_classes,
+        attn_size=int(cfg_json.get("attn_size", 32)),
         compute_dtype=str(cfg_json.get("compute_dtype", "bfloat16")),
     )
     cfg = GANConfig(

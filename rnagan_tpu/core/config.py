@@ -80,7 +80,11 @@ class VAEConfig:
 class GANModelConfig:
     """DCGAN-family architecture (reference ``histopathology_gan.py:175-246``)."""
 
-    arch: str = "dcgan"  # dcgan | dcgan_up | condgan
+    #: dcgan | dcgan_up | condgan | sagan | biggan. The last two are the
+    #: reference's intended-but-never-shipped attention families
+    #: (histopathology_gan.py:211-244 import missing modules, SURVEY.md 2.5) —
+    #: built here as models/sagan.py and models/biggan.py.
+    arch: str = "dcgan"
     encoding_dims: int = 2048
     out_size: int = 256
     out_channels: int = 3
@@ -89,7 +93,14 @@ class GANModelConfig:
     #: applied after the discriminator's final conv, as torchgan does with
     #: last_nonlinearity=LeakyReLU(0.2) (reference histopathology_gan.py:191).
     disc_last_leaky: bool = True
-    num_classes: int = 0  # condgan only (reference histopathology_gan.py:261-263)
+    #: condgan/biggan (reference histopathology_gan.py:261-263 and the biggan
+    #: wiring's n_classes=2 at :224). biggan with 0 runs unconditionally.
+    num_classes: int = 0
+    #: sagan/biggan: feature-map resolution that gets a self-attention block
+    #: (both nets). SAGAN's paper places it mid-stack; BigGAN-256 uses 64.
+    attn_size: int = 32
+    #: biggan: shared class-embedding width fed to conditional BN.
+    embed_dim: int = 128
     batchnorm: bool = True
     compute_dtype: str = "bfloat16"
     #: compute schedule for the generator's stride-2 4x4 up-convs:

@@ -244,15 +244,24 @@ class ConditionalDCGANDiscriminator(DCGANDiscriminator):
 
 
 def make_generator(cfg: GANModelConfig) -> nn.Module:
-    """Architecture registry (reference ``histopathology_gan.py:175-246``;
-    ``biggan``/``sagan`` there import missing modules and can never run —
-    SURVEY.md section 2.5 — so they are not part of the buildable surface)."""
+    """Architecture registry (reference ``histopathology_gan.py:175-246``).
+    ``sagan``/``biggan`` there import missing modules and can never run
+    (SURVEY.md section 2.5); models/sagan.py and models/biggan.py build the
+    intended surface. Imported lazily — they import from this module."""
     if cfg.arch == "dcgan":
         return DCGANGenerator(cfg)
     if cfg.arch == "dcgan_up":
         return DCGANUpGenerator(cfg)
     if cfg.arch == "condgan":
         return ConditionalDCGANGenerator(cfg)
+    if cfg.arch == "sagan":
+        from rnagan_tpu.models.sagan import SAGANGenerator
+
+        return SAGANGenerator(cfg)
+    if cfg.arch == "biggan":
+        from rnagan_tpu.models.biggan import BigGANGenerator
+
+        return BigGANGenerator(cfg)
     raise ValueError(f"unknown gan arch: {cfg.arch}")
 
 
@@ -261,6 +270,14 @@ def make_discriminator(cfg: GANModelConfig) -> nn.Module:
         return DCGANDiscriminator(cfg)
     if cfg.arch == "condgan":
         return ConditionalDCGANDiscriminator(cfg)
+    if cfg.arch == "sagan":
+        from rnagan_tpu.models.sagan import SAGANDiscriminator
+
+        return SAGANDiscriminator(cfg)
+    if cfg.arch == "biggan":
+        from rnagan_tpu.models.biggan import BigGANDiscriminator
+
+        return BigGANDiscriminator(cfg)
     raise ValueError(f"unknown gan arch: {cfg.arch}")
 
 
@@ -271,7 +288,8 @@ def init_gan(cfg: GANModelConfig, key: jax.Array, batch: int = 2):
     d = make_discriminator(cfg)
     z = jnp.zeros((batch, cfg.encoding_dims), jnp.float32)
     img = jnp.zeros((batch, cfg.out_size, cfg.out_size, cfg.out_channels), jnp.float32)
-    labels = jnp.zeros((batch,), jnp.int32) if cfg.arch == "condgan" else None
+    conditional = cfg.arch == "condgan" or (cfg.arch == "biggan" and cfg.num_classes > 0)
+    labels = jnp.zeros((batch,), jnp.int32) if conditional else None
     gv = g.init(gkey, z, labels=labels, train=False)
     dv = d.init(dkey, img, labels=labels, train=False)
     return gv, dv

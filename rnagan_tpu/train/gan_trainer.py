@@ -128,6 +128,13 @@ class GANTrainer:
         # TTUR Adam (reference histopathology_gan.py:248-259). mu_dtype
         # optionally drops the first moment to bf16 — see GANConfig.adam_mu_dtype
         # for why nu must stay f32.
+        if cfg.fused_critic_batch and cfg.model.arch in ("sagan", "biggan"):
+            # the closed-form running-stats recomposition in d_loss_fn is a
+            # BatchNorm identity; these archs keep spectral-norm power-
+            # iteration state (u/sigma) in the same collection and it would
+            # be corrupted by the blend
+            raise ValueError("fused_critic_batch is unsupported for "
+                             "spectral-norm architectures (sagan/biggan)")
         mu_dtype = jnp.dtype(cfg.adam_mu_dtype) if cfg.adam_mu_dtype else None
         self.g_tx = optax.adam(cfg.g_lr, b1=cfg.adam_b1, b2=cfg.adam_b2, mu_dtype=mu_dtype)
         self.d_tx = optax.adam(cfg.d_lr, b1=cfg.adam_b1, b2=cfg.adam_b2, mu_dtype=mu_dtype)
@@ -168,7 +175,11 @@ class GANTrainer:
         return jax.random.normal(key, (n, dims), jnp.float32)
 
     def _labels(self, batch):
-        return batch.get("labels") if self.cfg.model.arch == "condgan" else None
+        # condgan requires labels; biggan consumes them when conditional
+        # (num_classes > 0) and degrades to its unconditional form otherwise
+        if self.cfg.model.arch in ("condgan", "biggan"):
+            return batch.get("labels")
+        return None
 
     # ------------------------------------------------------------- train step
     def _g_apply(self, params, stats, z, labels, train=True):
@@ -374,7 +385,7 @@ class GANTrainer:
         else:
             noise = jax.random.normal(key, (n, dims), jnp.float32)
         labels = None
-        if self.cfg.model.arch == "condgan":
+        if self.cfg.model.arch in ("condgan", "biggan") and self.cfg.model.num_classes > 0:
             labels = jax.random.randint(jax.random.fold_in(key, 1), (n,), 0, self.cfg.model.num_classes)
         # EMA sampling keeps the raw weights' running BN stats: batch_stats
         # are already exponential averages, and the EMA tree tracks params only
