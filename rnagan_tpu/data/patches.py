@@ -428,6 +428,130 @@ def load_bag_folder(
                    np.stack(rna_rows) if rna_rows else None)
 
 
+def slide_hdf5_path(patch_data_path: str, wsi_file_name: str) -> str:
+    """``{path}/{wsi_file_name}.h5`` — one HDF5 file per slide, the layout the
+    reference's ``_Patches256x256_hdf5`` directory name implies
+    (``ml_experiments.py:265``)."""
+    return os.path.join(patch_data_path, wsi_file_name + ".h5")
+
+
+def write_slide_hdf5(path: str, tiles: np.ndarray, locs: Optional[np.ndarray] = None) -> None:
+    """Write one slide's tiles as an HDF5 store: ``patches`` (N,H,W,3) uint8
+    chunked per-tile (so bag reads decode only the rows they touch) plus an
+    optional ``loc`` (N,2) int32 grid-coordinate table."""
+    import h5py
+
+    tiles = np.ascontiguousarray(tiles, np.uint8)
+    if tiles.ndim != 4 or tiles.shape[-1] != 3:
+        raise ValueError(f"tiles must be (N,H,W,3) uint8, got {tiles.shape}")
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    with h5py.File(path, "w") as f:
+        f.create_dataset("patches", data=tiles, chunks=(1,) + tiles.shape[1:],
+                         compression="gzip", compression_opts=1)
+        if locs is not None:
+            f.create_dataset("loc", data=np.asarray(locs, np.int32))
+
+
+def convert_slide_to_hdf5(patch_data_path: str, wsi_file_name: str, out_dir: str) -> str:
+    """Convert one slide's reference-format LMDB tile database (the tiler's
+    output) into the per-slide HDF5 store :func:`load_bag_hdf5` reads.
+    Returns the written path."""
+    store = LMDBTileStore(slide_db_path(patch_data_path, wsi_file_name))
+    try:
+        keys = store.keys()
+        if not keys:
+            raise ValueError(f"empty tile database for {wsi_file_name}")
+        first = store.get_tile(keys[0])
+        if first is None:
+            raise ValueError(f"corrupt first tile in {wsi_file_name}")
+        h, w = first.shape[:2]
+        tiles, ok = store.load_tiles_fixed(keys, h, w)
+        tiles = tiles[ok]
+    finally:
+        store.close()
+    out = slide_hdf5_path(out_dir, wsi_file_name)
+    write_slide_hdf5(out, tiles)
+    return out
+
+
+def load_bag_hdf5(
+    df: pd.DataFrame,
+    patch_path: str,
+    *,
+    bag_size: int = 40,
+    max_patch_per_wsi: int = 300,
+    img_size: Optional[int] = None,
+    quick: Optional[List[str]] = None,
+) -> BagData:
+    """The reference's declared-but-never-shipped ``PatchBagDatasetHDF5``
+    (imported at ``ml_experiments.py:20`` from ``read_data`` which never
+    defines it; SURVEY.md §2.5), built as intended: ``PatchBagDataset``
+    semantics (reference ``read_data.py:100-155``) over per-slide HDF5 tile
+    stores instead of a JPEG file per patch.
+
+    Reference bag semantics preserved exactly as in :func:`load_bag_folder`:
+    first ``max_patch_per_wsi`` patches in index order, consecutive
+    non-overlapping ``bag_size`` chunks (remainder dropped), slide-level
+    label + ``rna_*`` vector per bag, ``quick`` filtering. Unlike the JPEG
+    layout there is no ``loc.txt`` — the patch count is the dataset's first
+    axis. Bags come back as one contiguous (B, bag_size, H, W, 3) uint8
+    array: static shapes, ready for a single ``device_put``.
+    """
+    import h5py
+
+    if quick is not None:
+        df = df.loc[df["wsi_file_name"].isin(quick)]
+    cols = rna_columns(df)
+    label_col = "Labels" if "Labels" in df.columns else ("labels" if "labels" in df.columns else None)
+
+    bags, labels, slide_idx, slides, rna_rows = [], [], [], [], []
+    for _, row in df.iterrows():
+        wsi = row["wsi_file_name"]
+        h5path = slide_hdf5_path(patch_path, wsi)
+        if not os.path.exists(h5path):
+            continue
+        with h5py.File(h5path, "r") as f:
+            if "patches" not in f:
+                continue
+            ds = f["patches"]
+            n_patches = ds.shape[0]
+            if max_patch_per_wsi is not None:
+                n_patches = min(n_patches, max_patch_per_wsi)
+            n_bags = n_patches // bag_size
+            if n_bags == 0 and not cols:
+                continue
+            sid = len(slides)
+            slides.append(wsi)
+            if cols:
+                rna_rows.append(np.asarray(row[cols].values, np.float32))
+            label = int(row[label_col]) if label_col else 0
+            for k in range(n_bags):
+                chunk = np.asarray(ds[bag_size * k : bag_size * (k + 1)], np.uint8)
+                if img_size is not None and chunk.shape[1:3] != (img_size, img_size):
+                    chunk = _resize_bilinear_u8(chunk, img_size)
+                bags.append(chunk)
+                labels.append(label)
+                slide_idx.append(sid)
+
+    if not bags:
+        return BagData(np.zeros((0, bag_size, 0, 0, 3), np.uint8), np.zeros(0, np.int32),
+                       np.zeros(0, np.int32), slides, np.stack(rna_rows) if rna_rows else None)
+    return BagData(np.stack(bags), np.asarray(labels, np.int32),
+                   np.asarray(slide_idx, np.int32), slides,
+                   np.stack(rna_rows) if rna_rows else None)
+
+
+def _resize_bilinear_u8(tiles: np.ndarray, size: int) -> np.ndarray:
+    """Bilinear-resize a (N,H,W,3) uint8 stack (PIL, matching the reference's
+    torchvision Resize interpolation default)."""
+    from PIL import Image
+
+    out = np.empty((tiles.shape[0], size, size, 3), np.uint8)
+    for i, t in enumerate(tiles):
+        out[i] = np.asarray(Image.fromarray(t).resize((size, size), Image.BILINEAR))
+    return out
+
+
 def make_bags(data: PatchData, bag_size: int = 40, seed: int = 0, drop_last: bool = True) -> BagData:
     """Group a PatchData into per-slide bags (shuffled within slide, as the
     reference's ``shuffle()`` does, ``read_data.py:134``)."""

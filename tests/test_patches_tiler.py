@@ -280,6 +280,87 @@ def test_load_bag_folder_reference_jpeg_layout(tmp_path, rng):
     assert np.isfinite(hist["history"][0]["loss"])
 
 
+def test_load_bag_hdf5_layout(tmp_path, rng):
+    """The declared-intent PatchBagDatasetHDF5 (imported but never defined,
+    reference ml_experiments.py:20; SURVEY.md §2.5): PatchBagDataset bag
+    semantics over per-slide HDF5 stores. HDF5 is lossless, so tile
+    round-trips are exact (unlike the JPEG layout)."""
+    pytest.importorskip("h5py")
+    from rnagan_tpu.data.patches import load_bag_hdf5, slide_hdf5_path, write_slide_hdf5
+
+    root = str(tmp_path / "h5")
+    rows, written = [], {}
+    for s, n_tiles in [("GTEX-H1.svs", 7), ("GTEX-H2.svs", 4)]:
+        tiles = rng.randint(0, 255, (n_tiles, 16, 16, 3), dtype=np.uint8)
+        locs = np.stack([np.arange(n_tiles), np.zeros(n_tiles, int)], axis=1)
+        write_slide_hdf5(slide_hdf5_path(root, s), tiles, locs)
+        written[s] = tiles
+        rows.append({"wsi_file_name": s, "Labels": len(rows),
+                     "rna_a": float(len(rows)), "rna_b": 2.0})
+    df = pd.DataFrame(rows)
+
+    bags = load_bag_hdf5(df, root, bag_size=2, max_patch_per_wsi=6)
+    # slide 1: min(7, 6) = 6 patches -> 3 bags; slide 2: 4 -> 2 bags
+    assert bags.bags.shape == (5, 2, 16, 16, 3)
+    np.testing.assert_array_equal(bags.labels, [0, 0, 0, 1, 1])
+    np.testing.assert_array_equal(bags.slide_idx, [0, 0, 0, 1, 1])
+    assert bags.rna.shape == (2, 2)
+    # exact round-trip: bag k holds patches 2k, 2k+1 in index order
+    for k in range(3):
+        np.testing.assert_array_equal(bags.bags[k], written["GTEX-H1.svs"][2 * k : 2 * k + 2])
+    for k in range(2):
+        np.testing.assert_array_equal(bags.bags[3 + k], written["GTEX-H2.svs"][2 * k : 2 * k + 2])
+
+    # quick filter + missing-file slide skipped
+    df2 = pd.concat([df, pd.DataFrame([{"wsi_file_name": "MISSING.svs", "Labels": 9,
+                                        "rna_a": 9.0, "rna_b": 9.0}])], ignore_index=True)
+    only = load_bag_hdf5(df2, root, bag_size=2, quick=["GTEX-H2.svs", "MISSING.svs"])
+    assert only.slides == ["GTEX-H2.svs"] and len(only.bags) == 2
+
+    # img_size resize path
+    small = load_bag_hdf5(df, root, bag_size=2, img_size=8)
+    assert small.bags.shape == (5, 2, 8, 8, 3)
+
+    # the fusion trainer consumes HDF5 bags exactly like folder bags
+    from rnagan_tpu.models.resnet import BasicBlock, ResNet
+    from rnagan_tpu.train.fusion_trainer import FusionConfig, FusionTrainer
+
+    import jax
+
+    from rnagan_tpu.core.config import MeshConfig
+    from rnagan_tpu.parallel.mesh import make_mesh
+
+    cfg = FusionConfig(batch_size=2, num_epochs=1, num_classes=2, rna_hidden_dims=(4,))
+    backbone = ResNet(BasicBlock, (1, 1, 1, 1), num_classes=2, compute_dtype="float32")
+    mesh = make_mesh(MeshConfig(data=1, model=1), devices=jax.devices()[:1])
+    tr = FusionTrainer(cfg, backbone=backbone, mesh=mesh)
+    state, hist = tr.fit(bags)
+    assert np.isfinite(hist["history"][0]["loss"])
+
+
+def test_convert_slide_lmdb_to_hdf5(tmp_path, rng):
+    """Tiler-output LMDB -> per-slide HDF5 conversion feeds load_bag_hdf5."""
+    pytest.importorskip("h5py")
+    from rnagan_tpu.data.patches import convert_slide_to_hdf5, load_bag_hdf5
+
+    root, h5root = str(tmp_path / "lmdb"), str(tmp_path / "h5out")
+    wsi = "GTEX-C1.svs"
+    os.makedirs(os.path.join(root, wsi), exist_ok=True)
+    tiles = rng.randint(0, 255, (4, 16, 16, 3), dtype=np.uint8)
+    with LMDBTileWriter(slide_db_path(root, wsi)) as w:
+        for i in range(4):
+            w.put_tile(f"t{i}", tiles[i])
+    out = convert_slide_to_hdf5(root, wsi, h5root)
+    assert os.path.exists(out)
+    df = pd.DataFrame([{"wsi_file_name": wsi, "Labels": 0, "rna_a": 1.0}])
+    bags = load_bag_hdf5(df, h5root, bag_size=2)
+    assert bags.bags.shape == (2, 2, 16, 16, 3)
+    # LMDB entries are stored in the tiler's BGR convention and flipped to RGB
+    # at read time (the reference's read_data.py:241 quirk), so the HDF5 file
+    # holds the channel-swapped tiles; order is the writer's key order
+    np.testing.assert_array_equal(bags.bags.reshape(4, 16, 16, 3), tiles[..., ::-1])
+
+
 def test_streaming_corrupt_entry_replaced(tmp_path, rng):
     """A corrupt tile must be replaced by a bounded forward scan, with the
     replacement's own label/rna (not the corrupt entry's)."""

@@ -39,10 +39,6 @@ timeout 3600 python tools/data_plane_run.py --prewarm --epochs 0 \
 log "serve_bench"
 timeout 3600 python tools/serve_bench.py 2>&1 | tee runs/tpu_queue/serve_bench.log
 
-# 4. downstream ML experiment at reference scale (longest job last)
-log "ml_experiment"
-timeout 14400 python tools/ml_experiment_run.py \
-    --out docs/quality/ml_experiment.json 2>&1 | tee runs/tpu_queue/ml_experiment.log
 
 # 5. bench sanity (the driver also runs this at round end)
 log "bench.py"
@@ -56,5 +52,10 @@ log "step_profile b8 --mu_bf16"
 timeout 2400 python tools/step_profile.py 8 --mu_bf16 2>&1 | tee runs/tpu_queue/profile_b8_mubf16.log
 log "step_profile b64 --mu_bf16"
 timeout 2400 python tools/step_profile.py 64 --mu_bf16 2>&1 | tee runs/tpu_queue/profile_b64_mubf16.log
+
+# 4. downstream ML experiment at reference scale (longest job last)
+log "ml_experiment"
+timeout 14400 python tools/ml_experiment_run.py \
+    --out docs/quality/ml_experiment.json 2>&1 | tee runs/tpu_queue/ml_experiment.log
 
 log "queue complete (appended jobs)"
