@@ -45,15 +45,20 @@ def timed_chain(make_body, carry0, *args):
             return make_body(c, i, *a), None
 
         c, _ = jax.lax.scan(body, carry, jnp.arange(n))
-        return c
+        # scalar probe: a full reduction over EVERY carry leaf keeps a data
+        # dependency on every element (XLA cannot dead-code any part of the
+        # scan) while the host fetch stays 4 bytes. Fetching an actual leaf
+        # here is the trap this replaces: np.asarray(leaf) pulls the whole
+        # array through the ~20 MB/s tunnel RPC — for the optimizer/FULL_STEP
+        # stages that is a multi-second transfer whose variance swamps the
+        # chain differencing (the round-3 488 ms "adam_updates" artifact).
+        return jax.tree_util.tree_reduce(
+            lambda acc, leaf: acc + jnp.sum(leaf.astype(jnp.float32)),
+            c, jnp.float32(0.0))
 
     def run(n):
         jax.block_until_ready(chain(carry0, n, *args))
-        r = chain(carry0, n, *args)
-        # force completion with a host fetch of ONE leaf — fetching the whole
-        # carry (e.g. the full train state for FULL_STEP) pulls hundreds of MB
-        # through the tunnel RPC and swamps the timing
-        np.asarray(jax.tree_util.tree_leaves(r)[0]).ravel()[:1]
+        float(chain(carry0, n, *args))
 
     def t(n):
         run(n)
