@@ -452,25 +452,51 @@ def write_slide_hdf5(path: str, tiles: np.ndarray, locs: Optional[np.ndarray] = 
             f.create_dataset("loc", data=np.asarray(locs, np.int32))
 
 
-def convert_slide_to_hdf5(patch_data_path: str, wsi_file_name: str, out_dir: str) -> str:
+def convert_slide_to_hdf5(patch_data_path: str, wsi_file_name: str, out_dir: str,
+                          chunk_tiles: int = 512) -> str:
     """Convert one slide's reference-format LMDB tile database (the tiler's
     output) into the per-slide HDF5 store :func:`load_bag_hdf5` reads.
-    Returns the written path."""
+    Returns the written path.
+
+    Patch order is the tile *index* order: ``__keys__`` preserves the tiler's
+    insertion order, but the fallback B+tree walk yields lexicographic byte
+    order ('10' < '2'), so ascii-integer keys are re-sorted numerically —
+    bag k must always hold tiles [k*bag_size, (k+1)*bag_size) as in the
+    reference's index-ordered layouts (``read_data.py:87-96``).
+
+    Tiles stream through in ``chunk_tiles`` batches: a reference-scale slide
+    (thousands of 256x256x3 tiles) would otherwise cost multi-GB peak RSS for
+    a conversion utility.
+    """
+    import h5py
+
     store = LMDBTileStore(slide_db_path(patch_data_path, wsi_file_name))
+    out = slide_hdf5_path(out_dir, wsi_file_name)
     try:
         keys = store.keys()
         if not keys:
             raise ValueError(f"empty tile database for {wsi_file_name}")
+        if all(k.isdigit() for k in keys):
+            keys = sorted(keys, key=int)
         first = store.get_tile(keys[0])
         if first is None:
             raise ValueError(f"corrupt first tile in {wsi_file_name}")
         h, w = first.shape[:2]
-        tiles, ok = store.load_tiles_fixed(keys, h, w)
-        tiles = tiles[ok]
+        os.makedirs(os.path.dirname(out) or ".", exist_ok=True)
+        with h5py.File(out, "w") as f:
+            ds = f.create_dataset("patches", shape=(0, h, w, 3), maxshape=(None, h, w, 3),
+                                  dtype=np.uint8, chunks=(1, h, w, 3),
+                                  compression="gzip", compression_opts=1)
+            written = 0
+            for i in range(0, len(keys), chunk_tiles):
+                tiles, ok = store.load_tiles_fixed(keys[i : i + chunk_tiles], h, w)
+                tiles = tiles[ok]
+                if len(tiles):
+                    ds.resize(written + len(tiles), axis=0)
+                    ds[written:] = tiles
+                    written += len(tiles)
     finally:
         store.close()
-    out = slide_hdf5_path(out_dir, wsi_file_name)
-    write_slide_hdf5(out, tiles)
     return out
 
 
@@ -517,9 +543,11 @@ def load_bag_hdf5(
             n_patches = ds.shape[0]
             if max_patch_per_wsi is not None:
                 n_patches = min(n_patches, max_patch_per_wsi)
+            # slide is appended even with zero full bags, mirroring
+            # load_bag_folder (reference read_data.py:87-96 appends the row
+            # once the layout exists) so slide indexing / rna alignment is
+            # identical across the folder and HDF5 flavors of the same CSV
             n_bags = n_patches // bag_size
-            if n_bags == 0 and not cols:
-                continue
             sid = len(slides)
             slides.append(wsi)
             if cols:

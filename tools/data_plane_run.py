@@ -101,6 +101,9 @@ def main():
                         "device_put), interleaved x2 in ONE process so tunnel "
                         "bandwidth drift between runs cannot masquerade as a "
                         "mode effect")
+    p.add_argument("--slides", type=int, default=200,
+                   help="corpus scale used when the corpus must be (re)built")
+    p.add_argument("--tiles_per_slide", type=int, default=600)
     p.add_argument("--out", default="docs/quality/data_plane.json")
     args = p.parse_args()
     if args.platform:
@@ -108,6 +111,22 @@ def main():
     elif args.probe_only:
         # the host probe never executes device work — stay off the chip
         jax.config.update("jax_platforms", "cpu")
+
+    # the corpus lives in gitignored scratch: a wiped workdir must not take the
+    # measurement down (round-3 overlap A/B died on exactly this; same survival
+    # rule as tools/ml_experiment_run.py). Rebuild is deterministic in the seed
+    # and resumable per slide; subprocess because make_lmdb_corpus pins the
+    # whole importing process to the CPU platform.
+    if not os.path.exists(os.path.join(args.corpus, "expression.csv")):
+        import subprocess
+        print(f"[setup] corpus missing at {args.corpus}; rebuilding "
+              f"({args.slides}x{args.tiles_per_slide}, host CPU)", flush=True)
+        subprocess.run(
+            [sys.executable, os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                          "make_lmdb_corpus.py"),
+             "--out", args.corpus, "--slides", str(args.slides),
+             "--tiles_per_slide", str(args.tiles_per_slide)],
+            check=True)
 
     import pandas as pd
 

@@ -57,7 +57,10 @@ def timed_chain(make_body, carry0, *args):
             c, jnp.float32(0.0))
 
     def run(n):
-        jax.block_until_ready(chain(carry0, n, *args))
+        # exactly ONE chain execution per timed run: float() blocks on the
+        # 4-byte scalar fetch, so no separate block_until_ready call (which
+        # would execute the chain a second time and double every stage time —
+        # the round-3 FULL_STEP 34.5 ms vs bench 16.2 ms discrepancy)
         float(chain(carry0, n, *args))
 
     def t(n):
