@@ -102,6 +102,14 @@ class GANModelConfig:
     #: biggan: shared class-embedding width fed to conditional BN.
     embed_dim: int = 128
     batchnorm: bool = True
+    #: critic conditioning. "unconditional" = the reference's critic, which
+    #: sees only images — compute_representation.py's identity-transfer goal
+    #: gives the critic no gradient toward patient identity (the structural
+    #: cause diagnosed in docs/quality/REPRESENTATION.md). "projection" =
+    #: Miyato & Koyama (arXiv:1802.05637) projection conditioning on the
+    #: frozen VAE encoding z_mean: score = psi(phi(x)) + <W z_mean, sumpool
+    #: phi(x)>. Our extension (wganvae only); one extra matmul per D call.
+    critic: str = "unconditional"
     compute_dtype: str = "bfloat16"
     #: compute schedule for the generator's stride-2 4x4 up-convs:
     #: 'xla' = nn.ConvTranspose (lhs_dilation lowering), 'd2s' = phase-

@@ -209,7 +209,8 @@ class DCGANDiscriminator(nn.Module):
     label_type: str = "none"
 
     @nn.compact
-    def __call__(self, x: jax.Array, labels: Optional[jax.Array] = None, train: bool = True) -> jax.Array:
+    def __call__(self, x: jax.Array, labels: Optional[jax.Array] = None, train: bool = True,
+                 cond: Optional[jax.Array] = None) -> jax.Array:
         cfg = self.cfg
         dt = _dtype(cfg.compute_dtype)
         r = _num_repeats(cfg.out_size)
@@ -228,11 +229,26 @@ class DCGANDiscriminator(nn.Module):
             if cfg.batchnorm:
                 x = _BN(dt)(x, train)
             x = nn.leaky_relu(x, cfg.leaky_slope)
-        x = nn.Conv(1, (4, 4), (1, 1), padding="VALID", dtype=dt, kernel_init=conv_init)(x)
-        x = x.astype(jnp.float32)
+        h = x  # final 4x4 feature map, (N, 4, 4, d)
+        x = nn.Conv(1, (4, 4), (1, 1), padding="VALID", dtype=dt, kernel_init=conv_init)(h)
+        score = x.astype(jnp.float32).reshape(x.shape[0])
+        if cfg.critic == "projection":
+            # Projection conditioning (arXiv:1802.05637 eq. 5) on a continuous
+            # embedding: score += <W c, sum-pool phi(x)>. Gives the critic —
+            # and through it the generator — a gradient toward matching tiles
+            # to the patient embedding, the channel the reference's
+            # unconditional critic lacks (wgan_loss.py:131-263;
+            # docs/quality/REPRESENTATION.md's structural diagnosis).
+            if cond is None:
+                raise ValueError("critic='projection' requires cond (z_mean)")
+            pooled = jnp.sum(h, axis=(1, 2))  # (N, d) global sum pool
+            proj = nn.Dense(pooled.shape[-1], use_bias=False, dtype=dt,
+                            kernel_init=nn.initializers.normal(0.02),
+                            name="cond_proj")(cond.astype(dt))
+            score = score + jnp.sum(pooled * proj, axis=-1).astype(jnp.float32)
         if cfg.disc_last_leaky:
-            x = nn.leaky_relu(x, cfg.leaky_slope)
-        return x.reshape(x.shape[0])  # (N,) critic scores
+            score = nn.leaky_relu(score, cfg.leaky_slope)
+        return score  # (N,) critic scores
 
 
 class ConditionalDCGANGenerator(DCGANGenerator):
@@ -291,5 +307,9 @@ def init_gan(cfg: GANModelConfig, key: jax.Array, batch: int = 2):
     conditional = cfg.arch == "condgan" or (cfg.arch == "biggan" and cfg.num_classes > 0)
     labels = jnp.zeros((batch,), jnp.int32) if conditional else None
     gv = g.init(gkey, z, labels=labels, train=False)
-    dv = d.init(dkey, img, labels=labels, train=False)
+    dkw = {}
+    if cfg.critic == "projection":
+        # cond is the frozen-VAE z_mean, same width as the infusion prior
+        dkw["cond"] = jnp.zeros((batch, cfg.encoding_dims), jnp.float32)
+    dv = d.init(dkey, img, labels=labels, train=False, **dkw)
     return gv, dv

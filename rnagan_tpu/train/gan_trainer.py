@@ -111,6 +111,13 @@ class GANTrainer:
         self.keys = KeyStream(cfg.seed)
         self._base_key = self.keys.fold("gan")
 
+        if cfg.model.critic == "projection":
+            if cfg.loss_type != "wganvae":
+                raise ValueError("critic='projection' conditions on the frozen "
+                                 "VAE embedding; it requires loss_type=wganvae")
+            if cfg.model.arch not in ("dcgan", "dcgan_up"):
+                raise ValueError("critic='projection' is implemented on the "
+                                 "DCGAN discriminator trunk only")
         if cfg.loss_type == "wganvae":
             if vae_variables is None:
                 if not cfg.vae_checkpoint:
@@ -189,10 +196,11 @@ class GANTrainer:
         )
         return out, upd["batch_stats"]
 
-    def _d_apply(self, params, stats, x, labels, train=True):
+    def _d_apply(self, params, stats, x, labels, train=True, cond=None):
+        kw = {} if cond is None else {"cond": cond}
         out, upd = self.discriminator.apply(
             {"params": params, "batch_stats": stats}, x, labels=labels, train=train,
-            mutable=["batch_stats"],
+            mutable=["batch_stats"], **kw,
         )
         return out, upd["batch_stats"]
 
@@ -210,6 +218,14 @@ class GANTrainer:
         base = step_key(self._base_key, state.step)
         k_d, k_gp, k_g, k_eps = (jax.random.fold_in(base, i) for i in range(4))
         metrics: Dict[str, jax.Array] = {}
+
+        # projection critic: every D call this step conditions on the frozen
+        # VAE embedding of the batch's patients (real, fake, and GP
+        # interpolates share the same patients, hence the same cond)
+        cond = None
+        if cfg.model.critic == "projection":
+            cond = jax.lax.stop_gradient(
+                encode_z_mean(self.vae, vae_variables, batch["rna_data"]))
 
         d_params, d_stats, d_opt = state.d_params, state.d_stats, state.d_opt
         g_params, g_stats = state.g_params, state.g_stats
@@ -249,7 +265,7 @@ class GANTrainer:
                 both = jnp.stack([real, fake_d])
                 lab2 = None if labels is None else jnp.stack([labels, labels])
                 out, sg = jax.vmap(
-                    lambda x, lab: self._d_apply(p, d_stats, x, lab),
+                    lambda x, lab: self._d_apply(p, d_stats, x, lab, cond=cond),
                     in_axes=(0, None if labels is None else 0),
                 )(both, lab2)
                 dx, dgz = out[0], out[1]
@@ -257,8 +273,8 @@ class GANTrainer:
                 s2 = jax.tree_util.tree_map(
                     lambda g, s0: g[1] + m * (g[0] - s0), sg, d_stats)
             else:
-                dx, s1 = self._d_apply(p, d_stats, real, labels)
-                dgz, s2 = self._d_apply(p, s1, fake_d, labels)
+                dx, s1 = self._d_apply(p, d_stats, real, labels, cond=cond)
+                dgz, s2 = self._d_apply(p, s1, fake_d, labels, cond=cond)
             if loss_type in ("wgan", "wganvae"):
                 loss = gan_losses.wasserstein_discriminator_loss(dx, dgz)
             elif loss_type == "minimax":
@@ -270,7 +286,7 @@ class GANTrainer:
             aux = {"d_loss": loss, "dx": jnp.mean(dx), "dgz": jnp.mean(dgz)}
             if fused_gp:
                 def critic(x):
-                    out, _ = self._d_apply(p, s2, x, labels)
+                    out, _ = self._d_apply(p, s2, x, labels, cond=cond)
                     return out
 
                 gp = gan_losses.gradient_penalty(critic, interp, per_sample=True)
@@ -294,7 +310,7 @@ class GANTrainer:
 
             def gp_loss_fn(p):
                 def critic(x):
-                    out, _ = self._d_apply(p, d_stats, x, labels)
+                    out, _ = self._d_apply(p, d_stats, x, labels, cond=cond)
                     return out
 
                 # reference quirk: global (not per-sample) gradient norm (:43)
@@ -306,7 +322,7 @@ class GANTrainer:
             # updates BatchNorm running stats (wgan_loss.py:381) — replay the
             # interpolate forward for the stats update with pre-GP-step
             # weights, as torch saw them
-            _, d_stats = self._d_apply(d_params, d_stats, interp, labels)
+            _, d_stats = self._d_apply(d_params, d_stats, interp, labels, cond=cond)
             updates, d_opt = self.d_tx.update(grads, d_opt, d_params)
             d_params = optax.apply_updates(d_params, updates)
             metrics["gp"] = gp_val
@@ -316,7 +332,7 @@ class GANTrainer:
 
         def g_loss_fn(p):
             fake, gs = self._g_apply(p, g_stats, noise_g, labels)
-            dgz, ds = self._d_apply(d_params, d_stats, fake, labels)
+            dgz, ds = self._d_apply(d_params, d_stats, fake, labels, cond=cond)
             if loss_type in ("wgan", "wganvae"):
                 loss = gan_losses.wasserstein_generator_loss(dgz)
             elif loss_type == "minimax":

@@ -377,3 +377,55 @@ def test_fused_critic_batch_equivalence(batchnorm):
         jax.tree_util.tree_map(
             lambda a, b: np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-6),
             getattr(states[0], field), getattr(states[1], field))
+
+
+@pytest.mark.parametrize("compat_gp", [False, True])
+def test_projection_critic_trains(compat_gp):
+    """critic='projection' (GANModelConfig.critic): the wganvae critic
+    conditions on the frozen VAE embedding via Miyato-Koyama projection
+    (arXiv:1802.05637) — the conditional-critic extension VERDICT r3 item 6
+    asks to test against the identity-transfer negative. Both GP modes must
+    run: fused per-sample GP and the reference's separate-step dynamics."""
+    model = GANModelConfig(encoding_dims=32, out_size=32, step_channels=8,
+                           compute_dtype="float32", critic="projection")
+    vae_vars = init_betavae(VAE_SMALL, jax.random.key(3))
+    cfg = GANConfig(model=model, loss_type="wganvae", batch_size=16,
+                    sample_size=4, vae=VAE_SMALL, compat_reference_gp=compat_gp)
+    trainer = GANTrainer(cfg, vae_variables=vae_vars)
+    batches = TileBatches(tiles_to_float(_tiles()), rna=_rna(), batch_size=16, pad_to=8)
+    state, results = _run_steps(trainer, batches)
+    h = results["history"][0]
+    assert np.isfinite(h["d_loss"]) and np.isfinite(h["g_loss"]) and np.isfinite(h["gp"])
+    # the conditioning path owns parameters and they must move
+    assert "cond_proj" in state.d_params
+    proj0 = trainer.init_state().d_params["cond_proj"]["kernel"]
+    assert not np.allclose(np.asarray(proj0), np.asarray(state.d_params["cond_proj"]["kernel"]))
+
+
+def test_projection_critic_score_depends_on_cond():
+    """Same image, different embedding -> different critic score (and the
+    unconditional config has no cond_proj parameters at all)."""
+    from rnagan_tpu.models.dcgan import init_gan, make_discriminator
+
+    model = GANModelConfig(encoding_dims=32, out_size=32, step_channels=8,
+                           compute_dtype="float32", critic="projection")
+    _, dv = init_gan(model, jax.random.key(0), batch=4)
+    disc = make_discriminator(model)
+    x = jax.numpy.asarray(np.random.RandomState(0).randn(4, 32, 32, 3), jax.numpy.float32)
+    c1 = jax.numpy.asarray(np.random.RandomState(1).randn(4, 32), jax.numpy.float32)
+    c2 = jax.numpy.asarray(np.random.RandomState(2).randn(4, 32), jax.numpy.float32)
+    s1 = disc.apply(dv, x, train=False, cond=c1)
+    s2 = disc.apply(dv, x, train=False, cond=c2)
+    assert not np.allclose(np.asarray(s1), np.asarray(s2))
+
+    uncond = GANModelConfig(encoding_dims=32, out_size=32, step_channels=8,
+                            compute_dtype="float32")
+    _, dv_u = init_gan(uncond, jax.random.key(0), batch=4)
+    assert "cond_proj" not in dv_u["params"]
+
+
+def test_projection_critic_requires_wganvae():
+    model = GANModelConfig(encoding_dims=32, out_size=32, step_channels=8,
+                           critic="projection")
+    with pytest.raises(ValueError, match="wganvae"):
+        GANTrainer(GANConfig(model=model, loss_type="wgan"))

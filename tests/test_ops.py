@@ -59,3 +59,35 @@ def test_quantize_large_map_blocks(rng):
 
     assert _lane_block(256 * 256 * 3, 64) * 64 * 4 <= 2 << 20
     assert (256 * 256 * 3) % _lane_block(256 * 256 * 3, 64) == 0
+
+
+def test_fused_adam_matches_optax(rng):
+    """ops/fused_adam.adam_update_flat == optax.adam, f32 bit-level math
+    (same EMA + bias-correction formulas), including the padded tail when
+    n is not a multiple of the kernel block."""
+    import optax
+
+    from rnagan_tpu.ops.fused_adam import adam_update_flat
+
+    n = 128 * 2048 + 4321  # forces the zero-pad path
+    p = jnp.asarray(rng.randn(n), jnp.float32)
+    g = jnp.asarray(rng.randn(n) * 0.01, jnp.float32)
+    lr, b1, b2, eps = 1e-4, 0.5, 0.999, 1e-8
+
+    tx = optax.adam(lr, b1=b1, b2=b2, eps=eps)
+    opt_state = tx.init(p)
+    p_ref, st = p, opt_state
+    for _ in range(3):
+        upd, st = tx.update(g, st, p_ref)
+        p_ref = optax.apply_updates(p_ref, upd)
+
+    mu = jnp.zeros_like(p)
+    nu = jnp.zeros_like(p)
+    p_k = p
+    with pltpu.force_tpu_interpret_mode():
+        for step in range(3):
+            p_k, mu, nu = adam_update_flat(p_k, g, mu, nu, jnp.asarray(step),
+                                           lr=lr, b1=b1, b2=b2, eps=eps)
+    np.testing.assert_allclose(np.asarray(p_k), np.asarray(p_ref), rtol=1e-6, atol=1e-7)
+    np.testing.assert_allclose(np.asarray(mu), np.asarray(st[0].mu), rtol=1e-6, atol=1e-8)
+    np.testing.assert_allclose(np.asarray(nu), np.asarray(st[0].nu), rtol=1e-6, atol=1e-9)

@@ -185,7 +185,14 @@ def make_fid_probe(trainer, corpus, expr_norm, args):
     from rnagan_tpu.eval.fid import InceptionExtractor, calculate_frechet_distance
     from rnagan_tpu.losses.rna_infusion import encode_z_mean, infused_noise
 
-    extractor = InceptionExtractor(seed=0, dtype=jnp.float32)
+    weights = os.environ.get("INCEPTION_WEIGHTS")
+    if weights:  # trained-weights parity path (docs/FID_WEIGHTS_RUNBOOK.md)
+        from rnagan_tpu.cli.common import load_inception_extractor
+
+        extractor = load_inception_extractor(weights)
+        print(f"[fid] trained InceptionV3 features from {weights}", flush=True)
+    else:
+        extractor = InceptionExtractor(seed=0, dtype=jnp.float32)
     chunk = min(args.fid_batch, args.fid_n)
     expr_dev = jnp.asarray(expr_norm) if trainer.cfg.loss_type == "wganvae" else None
     dims = trainer.cfg.model.encoding_dims
@@ -288,6 +295,10 @@ def main():
     p.add_argument("--size", type=int, default=256)
     p.add_argument("--batch", type=int, default=32)
     p.add_argument("--corpus_seed", type=int, default=0)
+    p.add_argument("--seed", type=int, default=None,
+                   help="GAN seed (init + per-step noise/data order); the "
+                        "corpus and VAE pretrain stay fixed so multi-seed "
+                        "runs vary only the training stochasticity")
     p.add_argument("--vae_epochs", type=int, default=200)
     p.add_argument("--fid_n", type=int, default=512)
     p.add_argument("--fid_batch", type=int, default=64)
@@ -299,6 +310,7 @@ def main():
     p.add_argument("--out", default=None)
     p.add_argument("--resume", action="store_true")
     p.add_argument("--smoke", action="store_true", help="tiny shapes, CPU-able")
+    p.add_argument("--platform", default=None, help="force jax platform (e.g. cpu)")
     # --- ablation knobs (wgan-baseline root-cause work; defaults = shipped cfg)
     p.add_argument("--tag", default=None, help="run name (output files suffix)")
     p.add_argument("--compat_gp", action="store_true",
@@ -308,12 +320,23 @@ def main():
                    help="critic steps per G update (WGAN schedule; 1 = reference parity)")
     p.add_argument("--g_lr", type=float, default=None)
     p.add_argument("--d_lr", type=float, default=None)
+    p.add_argument("--arch", default="dcgan",
+                   choices=["dcgan", "dcgan_up", "sagan", "biggan"],
+                   help="generator/discriminator family (reference registry "
+                        "histopathology_gan.py:175-246; sagan/biggan are its "
+                        "declared-but-missing archs, built in models/)")
+    p.add_argument("--critic", default="unconditional",
+                   choices=["unconditional", "projection"],
+                   help="projection = condition the critic on the frozen VAE "
+                        "embedding (Miyato-Koyama); wganvae only")
     p.add_argument("--g_ema_decay", type=float, default=None,
                    help="generator weight EMA (e.g. 0.999); the FID probe and "
                         "grids then evaluate the averaged generator")
     p.add_argument("--probe_train", action="store_true",
                    help="also record FID with train-mode (batch-stat) BN in G")
     args = p.parse_args()
+    if args.platform:
+        jax.config.update("jax_platforms", args.platform)
     if args.smoke:
         args.slides, args.tiles_per_slide, args.genes = 6, 12, 64
         args.size, args.batch, args.vae_epochs = 32, 4, 3
@@ -343,13 +366,16 @@ def main():
         else:
             vae_vars, vae_cfg = train_vae(args, expr_norm)
 
-    model_cfg = GANModelConfig(out_size=args.size,
-                               encoding_dims=vae_cfg.z_dim if args.loss_type == "wganvae" else 2048)
+    model_cfg = GANModelConfig(out_size=args.size, arch=args.arch,
+                               encoding_dims=vae_cfg.z_dim if args.loss_type == "wganvae" else 2048,
+                               critic=args.critic)
     cfg_kw = dict(model=model_cfg, loss_type=args.loss_type, batch_size=args.batch,
                   vae=vae_cfg, compat_reference_gp=args.compat_gp, n_critic=args.n_critic,
                   g_ema_decay=args.g_ema_decay)
     if args.no_clip:
         cfg_kw["clip"] = None
+    if args.seed is not None:
+        cfg_kw["seed"] = args.seed
     if args.g_lr is not None:
         cfg_kw["g_lr"] = args.g_lr
     if args.d_lr is not None:
@@ -404,6 +430,7 @@ def main():
             # the plain wgan loss (gan_trainer.py; reference wires clip at
             # histopathology_gan.py:267-271 for "wgan" only)
             "clip": cfg.clip if cfg.loss_type == "wgan" else None,
+            "seed": cfg.seed, "arch": cfg.model.arch, "critic": cfg.model.critic,
             "n_critic": cfg.n_critic, "g_lr": cfg.g_lr, "d_lr": cfg.d_lr,
             "g_ema_decay": cfg.g_ema_decay,
             "backend": jax.devices()[0].platform,

@@ -73,6 +73,15 @@ def main():
                    help="number of corpus slides treated as patients")
     p.add_argument("--tiles_per_patient", type=int, default=64)
     p.add_argument("--platform", default=None, help="force jax platform (e.g. cpu)")
+    p.add_argument("--gan_name", default="wgan",
+                   help="checkpoint basename of the unconditional control arm")
+    p.add_argument("--rna_name", default="wganvae",
+                   help="checkpoint basename of the conditional arm (a "
+                        "quality_run --tag), e.g. wganvae_proj")
+    p.add_argument("--critic", default="unconditional",
+                   choices=["unconditional", "projection"],
+                   help="critic config the --rna_name checkpoint was trained "
+                        "with (its D param tree must match to load)")
     p.add_argument("--out", default="docs/quality/representations")
     p.add_argument("--ceiling_only", action="store_true",
                    help="skip generation; compute the real-vs-real ceiling + the "
@@ -102,13 +111,14 @@ def main():
     vae_cfg = VAEModelConfig(rna_features=args.genes, compute_dtype="bfloat16")
     print(f"[setup] VAE pretrain loaded ({meta})", flush=True)
 
-    rna_cfg = GANConfig(model=GANModelConfig(out_size=args.size, encoding_dims=vae_cfg.z_dim),
+    rna_cfg = GANConfig(model=GANModelConfig(out_size=args.size, encoding_dims=vae_cfg.z_dim,
+                                             critic=args.critic),
                         loss_type="wganvae", vae=vae_cfg)
     gan_cfg = GANConfig(model=GANModelConfig(out_size=args.size), loss_type="wgan")
     rna_trainer = GANTrainer(rna_cfg, vae_variables=vae_vars)
     gan_trainer = GANTrainer(gan_cfg)
-    rna_path = pick_ckpt(args.workdir, "wganvae")
-    gan_path = pick_ckpt(args.workdir, "wgan")
+    rna_path = pick_ckpt(args.workdir, args.rna_name)
+    gan_path = pick_ckpt(args.workdir, args.gan_name)
     rna_state = rna_trainer.load_model(rna_path)
     if not args.ceiling_only:
         gan_state = gan_trainer.load_model(gan_path)
@@ -134,7 +144,14 @@ def main():
     # the training expression matrix (losses/rna_infusion.z_population_stats)
     rna_trainer.set_z_population(expr_norm)
 
-    extractor = InceptionExtractor(seed=0, dtype=jnp.float32)
+    weights = os.environ.get("INCEPTION_WEIGHTS")
+    if weights:  # trained-weights parity path (docs/FID_WEIGHTS_RUNBOOK.md)
+        from rnagan_tpu.cli.common import load_inception_extractor
+
+        extractor = load_inception_extractor(weights)
+        print(f"[features] trained InceptionV3 from {weights}", flush=True)
+    else:
+        extractor = InceptionExtractor(seed=0, dtype=jnp.float32)
     # distance statistics (eval/representation.distance_statistics: whitened
     # by the real set's per-dim stats — random-init inception features are
     # ~1e-4 scale; one affine map applied to every source keeps distances
