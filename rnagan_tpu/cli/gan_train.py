@@ -33,6 +33,12 @@ def build_parser():
     p.add_argument("--vae_checkpoint", type=str, default=None,
                    help="beta-VAE checkpoint for wganvae (the reference hardcodes this path)")
     p.add_argument("--batch_size", type=int, default=8)
+    p.add_argument("--critic", type=str, default="unconditional",
+                   choices=["unconditional", "projection"],
+                   help="projection = condition the critic on the frozen VAE "
+                        "embedding (Miyato-Koyama, arXiv:1802.05637); "
+                        "wganvae + dcgan-family only. Our extension — the "
+                        "reference critic is unconditional (wgan_loss.py:131-263)")
     p.add_argument("--n_critic", type=int, default=1,
                    help="critic steps per G update (WGAN schedule; 1 = reference parity)")
     p.add_argument("--no_clip", action="store_true",
@@ -103,6 +109,7 @@ def main(argv=None):
                                      32 if args.gan_type in ("condgan", "sagan") else 64)),
         num_classes=num_classes,
         attn_size=int(config.get("attn_size", 32)),
+        critic=args.critic,
         compute_dtype=str(config.get("compute_dtype", "bfloat16")),
     )
     vae_model = VAEModelConfig(

@@ -392,3 +392,58 @@ def test_streaming_corrupt_entry_replaced(tmp_path, rng):
         seen += 1
     assert seen == n_batches
     stream.close()
+
+
+def test_convert_hdf5_fallback_key_order_and_streaming(tmp_path, rng, monkeypatch):
+    """Without the __keys__ index the LMDB walk yields lexicographic byte
+    order ('10' < '2'); conversion must re-sort ascii-int keys numerically so
+    bag k always holds tiles [k*bag_size, (k+1)*bag_size) — and must stream
+    (chunk_tiles) without changing the result."""
+    pytest.importorskip("h5py")
+    import h5py
+
+    import rnagan_tpu.data.store as store_mod
+    from rnagan_tpu.data.patches import convert_slide_to_hdf5, slide_hdf5_path
+
+    root, h5root = str(tmp_path / "lmdb"), str(tmp_path / "h5out")
+    wsi = "GTEX-C2.svs"
+    os.makedirs(os.path.join(root, wsi), exist_ok=True)
+    n = 12  # keys '0'..'11': lexicographic order interleaves '10','11' after '1'
+    with LMDBTileWriter(slide_db_path(root, wsi)) as w:
+        for i in range(n):
+            w.put_tile(f"t{i}", np.full((8, 8, 3), i, np.uint8))
+
+    orig = store_mod.LMDBTileStore.get_raw
+
+    def no_index(self, key):
+        return None if key == b"__keys__" else orig(self, key)
+
+    monkeypatch.setattr(store_mod.LMDBTileStore, "get_raw", no_index)
+    convert_slide_to_hdf5(root, wsi, h5root, chunk_tiles=5)  # forces streaming
+    with h5py.File(slide_hdf5_path(h5root, wsi)) as f:
+        vals = [int(f["patches"][i, 0, 0, 0]) for i in range(f["patches"].shape[0])]
+    assert vals == list(range(n))
+
+
+def test_load_bag_hdf5_zero_bag_slide_kept(tmp_path, rng):
+    """A slide with fewer than bag_size patches still appears in the slide
+    list (parity with load_bag_folder's unconditional append) so slide
+    indexing / rna alignment matches across flavors of the same CSV."""
+    pytest.importorskip("h5py")
+    from rnagan_tpu.data.patches import (convert_slide_to_hdf5, load_bag_hdf5,
+                                         slide_db_path as sdp)
+
+    root, h5root = str(tmp_path / "lmdb"), str(tmp_path / "h5out")
+    for wsi, count in (("A.svs", 6), ("B.svs", 2)):  # B: zero bags at size 4
+        os.makedirs(os.path.join(root, wsi), exist_ok=True)
+        with LMDBTileWriter(sdp(root, wsi)) as w:
+            for i in range(count):
+                w.put_tile(f"t{i}", np.full((8, 8, 3), i, np.uint8))
+        convert_slide_to_hdf5(root, wsi, h5root)
+    df = pd.DataFrame([
+        {"wsi_file_name": "A.svs", "Labels": 0},
+        {"wsi_file_name": "B.svs", "Labels": 1},
+    ])
+    bags = load_bag_hdf5(df, h5root, bag_size=4)
+    assert bags.slides == ["A.svs", "B.svs"]
+    assert len(bags.bags) == 1  # only A contributes a full bag
