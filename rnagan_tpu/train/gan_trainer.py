@@ -215,7 +215,15 @@ class GANTrainer:
             # traffic than float32 batches (dtype is static under jit, so
             # this branch costs nothing when batches arrive as float)
             real = real.astype(jnp.float32) / 127.5 - 1.0
-        base = step_key(self._base_key, state.step)
+        # per-step RNG: derived from cfg.seed + step by default; a batch may
+        # carry an explicit "rng" key instead, which keeps the seed OUT of
+        # the compiled program (a closed-over base key becomes an HLO
+        # constant, so multi-seed studies would cache-miss the ~20-min
+        # remote compile per seed — tools/quality_run.py threads it)
+        if isinstance(batch, dict) and "rng" in batch:
+            base = batch["rng"]
+        else:
+            base = step_key(self._base_key, state.step)
         k_d, k_gp, k_g, k_eps = (jax.random.fold_in(base, i) for i in range(4))
         metrics: Dict[str, jax.Array] = {}
 

@@ -429,3 +429,31 @@ def test_projection_critic_requires_wganvae():
                            critic="projection")
     with pytest.raises(ValueError, match="wganvae"):
         GANTrainer(GANConfig(model=model, loss_type="wgan"))
+
+
+def test_explicit_batch_rng_overrides_seed_stream():
+    """A batch carrying an explicit 'rng' key drives the step's noise
+    instead of the cfg.seed-derived stream — so the compiled program is
+    seed-free (multi-seed studies cache-hit) and two trainers with
+    different cfg.seed produce IDENTICAL steps from identical state+rng."""
+    batch = {"image": tiles_to_float(_tiles(16)),
+             "rng": jax.random.key(123)}
+    trainers = [GANTrainer(GANConfig(model=MODEL32, loss_type="wgan",
+                                     batch_size=16, seed=s)) for s in (7, 8)]
+    state0 = jax.device_get(trainers[0].init_state())  # shared init
+    outs = []
+    for tr in trainers:
+        st, m = tr._train_step(jax.device_put(state0), dict(batch), None)
+        outs.append((jax.device_get(st), jax.device_get(m)))
+    for k in outs[0][1]:
+        np.testing.assert_array_equal(outs[0][1][k], outs[1][1][k])
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_array_equal(a, b),
+        outs[0][0].g_params, outs[1][0].g_params)
+    # and WITHOUT rng the two seeds diverge (internal stream used)
+    del batch["rng"]
+    ms = []
+    for tr in trainers:
+        _, m = tr._train_step(jax.device_put(state0), dict(batch), None)
+        ms.append(float(jax.device_get(m["d_loss"])))
+    assert ms[0] != ms[1]

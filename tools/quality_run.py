@@ -158,7 +158,9 @@ def make_epoch_program(trainer, corpus, expr_norm, batch):
             sl = jax.random.randint(ksl, (batch,), 0, n_slides)
             ti = jax.random.randint(kti, (batch,), 0, tps)
             imgs = render_batch(render_key, slide_s[sl], ti + sl * stride, size)
-            bd = {"image": imgs}
+            # explicit per-step rng: keeps cfg.seed out of the compiled HLO
+            # so every seed's epoch program hits the compilation cache
+            bd = {"image": imgs, "rng": jax.random.fold_in(k, 2)}
             if expr_dev is not None:
                 bd["rna_data"] = expr_dev[sl]
             st, m = trainer._train_step_impl(st, bd, vae_vars)
@@ -306,6 +308,11 @@ def main():
     p.add_argument("--steps_per_dispatch", type=int, default=500,
                    help="max scanned steps per device execution (tunnel deadline)")
     p.add_argument("--save_every", type=int, default=5)
+    p.add_argument("--no_ckpt", action="store_true",
+                   help="skip all .model checkpoint saves (curve-only runs: "
+                        "each bundle is ~2.7 GB and this tunnel fetches at "
+                        "~7 MB/s, so saves dominate short runs); sample grids "
+                        "are still written")
     p.add_argument("--workdir", default="runs/quality")
     p.add_argument("--out", default=None)
     p.add_argument("--resume", action="store_true")
@@ -487,17 +494,19 @@ def main():
             json.dump({"meta": meta, "history": history,
                        "best": {"fid": best_fid, "epoch": best_epoch}}, f, indent=1)
         if (epoch + 1) % args.save_every == 0 or epoch == args.epochs - 1:
-            # async: the ~2.7 GB G+D+optimizer fetch (~7 MB/s on this tunnel)
-            # overlaps the next epochs' training instead of stalling them
-            trainer.save_model(state, ckpt, {"epoch": epoch}, async_=True)
+            if not args.no_ckpt:
+                # async: the ~2.7 GB G+D+optimizer fetch (~7 MB/s on this
+                # tunnel) overlaps the next epochs' training
+                trainer.save_model(state, ckpt, {"epoch": epoch}, async_=True)
             probe.sample_grid(state, os.path.join(
                 args.workdir, "grids", f"{run_name}_epoch{epoch:03d}.png"), epoch)
     if best_state is not None:
-        trainer.save_model(best_state, ckpt_best, {"epoch": best_epoch, "fid": best_fid},
-                           async_=True)
+        if not args.no_ckpt:
+            trainer.save_model(best_state, ckpt_best,
+                               {"epoch": best_epoch, "fid": best_fid}, async_=True)
+            print(f"[best] fid {best_fid} at epoch {best_epoch} -> {ckpt_best}", flush=True)
         probe.sample_grid(best_state, os.path.join(
             args.workdir, "grids", f"{run_name}_best_epoch{best_epoch:03d}.png"), best_epoch)
-        print(f"[best] fid {best_fid} at epoch {best_epoch} -> {ckpt_best}", flush=True)
     trainer._saver.wait()
     print(f"[done] {out_path}", flush=True)
 
