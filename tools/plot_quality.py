@@ -32,14 +32,24 @@ def main():
     fig, ax = plt.subplots(figsize=(8, 5))
     floor = None
     table = []
+    # multi-seed A/B styling: one color per arm, seeds distinguished by line
+    arm_color = {"wganvae": "tab:blue", "wgan": "tab:orange"}
+    seen_arms = set()
     for path in args.runs:
         run = load(path)
         hist = run["history"]
-        label = {"wganvae": "RNA-GAN (wganvae)", "wgan": "GAN (wgan)"}.get(
-            run["meta"]["loss_type"], run["meta"]["loss_type"])
+        loss = run["meta"]["loss_type"]
+        stem = os.path.splitext(os.path.basename(path))[0]
+        arm_name = {"wganvae": "RNA-GAN (wganvae)", "wgan": "GAN (wgan)"}.get(loss, loss)
+        label = arm_name if loss not in seen_arms else None  # one legend row/arm
+        multi = len(args.runs) > 2
+        seen_arms.add(loss)
         epochs = [h["epoch"] + 1 for h in hist if "fid" in h]
         fids = [h["fid"] for h in hist if "fid" in h]
-        ax.plot(epochs, fids, marker="o", ms=3, lw=1.5, label=label)
+        ax.plot(epochs, fids, marker="o", ms=3, lw=1.2,
+                color=arm_color.get(loss), alpha=0.75 if multi else 1.0,
+                label=label)
+        label = stem  # per-run label for the table below
         floor = run["meta"].get("fid_floor_real_vs_real", floor)
         best = min(fids) if fids else float("nan")
         best_ep = epochs[fids.index(best)] if fids else -1
