@@ -13,7 +13,8 @@ shape from ``read_data.py:374-465``).
 Tiles are bit-identical to the on-device renderer's (same SyntheticCorpus
 seed, same (slide, tile) key scheme) so data-plane runs are directly
 comparable with the synthetic-input quality runs. Rendering runs on host CPU
-(this box has 1 core: ~47 tiles/s, ~43 min for 200x600) so the TPU stays
+(single-core box: 7-47 tiles/s depending on the VM generation — budget up to
+hours for 200x600 and run it `nice`d alongside TPU work) so the TPU stays
 free; the job is resumable per slide.
 
 Usage:
