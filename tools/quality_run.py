@@ -276,6 +276,16 @@ def make_fid_probe(trainer, corpus, expr_norm, args):
         mu_f, s_f = stats(acts)
         return calculate_frechet_distance(mu_r, s_r, mu_f, s_f)
 
+    def compile_all(state):
+        """AOT-compile the probe's jitted programs (no execution beyond what
+        setup already ran) — used by --compile_only to warm the persistent
+        cache while another job owns the chip."""
+        k = jax.random.key(0)
+        fake_acts_chunk.lower(state, k, trainer.vae_variables, False).compile()
+        if args.probe_train:
+            fake_acts_chunk.lower(state, k, trainer.vae_variables, True).compile()
+        fake_grid_chunk.lower(state, k, trainer.vae_variables).compile()
+
     def sample_grid(state, path, epoch):
         imgs = np.asarray(fake_grid_chunk(
             state, jax.random.fold_in(jax.random.key(31337), epoch), trainer.vae_variables))
@@ -284,6 +294,7 @@ def make_fid_probe(trainer, corpus, expr_norm, args):
 
     probe.floor = floor
     probe.sample_grid = sample_grid
+    probe.compile_all = compile_all
     return probe
 
 
@@ -308,6 +319,14 @@ def main():
     p.add_argument("--steps_per_dispatch", type=int, default=500,
                    help="max scanned steps per device execution (tunnel deadline)")
     p.add_argument("--save_every", type=int, default=5)
+    p.add_argument("--compile_only", action="store_true",
+                   help="build the full setup and AOT-compile every jitted "
+                        "program (lower().compile()), then exit without "
+                        "training. Warms the persistent compilation cache "
+                        "(.jax_cache) for an upcoming run WHILE another job "
+                        "owns the chip — remote compilation is a separate "
+                        "service, so this overlaps cleanly. VAE pretrain is "
+                        "skipped (weights are runtime args: same HLO).")
     p.add_argument("--no_ckpt", action="store_true",
                    help="skip all .model checkpoint saves (curve-only runs: "
                         "each bundle is ~2.7 GB and this tunnel fetches at "
@@ -370,6 +389,12 @@ def main():
                                      encoder_dims=(48, 32), decoder_dims=(48,),
                                      compute_dtype="bfloat16")
             vae_vars = init_betavae(vae_cfg, jax.random.key(0))
+        elif args.compile_only:
+            # weights ride as runtime arguments, so init weights produce the
+            # exact HLO the trained weights will; skip the pretrain
+            from rnagan_tpu.models.betavae import init_betavae
+
+            vae_vars = init_betavae(vae_cfg, jax.random.key(0))
         else:
             vae_vars, vae_cfg = train_vae(args, expr_norm)
 
@@ -389,7 +414,7 @@ def main():
         cfg_kw["d_lr"] = args.d_lr
     cfg = GANConfig(**cfg_kw)
     trainer = GANTrainer(cfg, vae_variables=vae_vars)
-    if vae_vars is not None and not args.smoke:
+    if vae_vars is not None and not args.smoke and not args.compile_only:
         # persist the pretrained VAE for downstream tools (representation
         # analysis, data-plane runs) — async: the ~GB fetch rides the tunnel
         # while the GAN warms up, same as checkpoint saves
@@ -403,6 +428,28 @@ def main():
     t0 = time.time()
     probe = make_fid_probe(trainer, corpus, expr_norm, args)
     print(f"[setup] FID probe (incl. real-set activations) {time.time() - t0:.0f}s", flush=True)
+
+    if args.compile_only:
+        state = trainer.init_state()
+        key = jax.random.key(0)
+        tail = steps_per_epoch % args.steps_per_dispatch
+        for n in sorted({min(args.steps_per_dispatch, steps_per_epoch)} |
+                        ({tail} if tail else set())):
+            t0 = time.time()
+            run_epoch.lower(state, key, int(n), trainer.vae_variables).compile()
+            print(f"[compile_only] epoch program n={n}: {time.time() - t0:.0f}s",
+                  flush=True)
+        t0 = time.time()
+        probe.compile_all(state)
+
+        @jax.jit
+        def snapshot(state):
+            return jax.tree_util.tree_map(jnp.copy, state)
+
+        snapshot.lower(state).compile()
+        print(f"[compile_only] probe + snapshot: {time.time() - t0:.0f}s; cache warm",
+              flush=True)
+        return
 
     ckpt = os.path.join(args.workdir, f"{run_name}_last.model")
     ckpt_best = os.path.join(args.workdir, f"{run_name}_best.model")
