@@ -15,9 +15,11 @@ The kernel itself: grid over row-blocks of a (rows, 128) view of the flat
 buffer; each block does the full Adam element math on the VPU between one
 HBM read and one write per array; params/mu/nu update in place via
 ``input_output_aliases`` (same buffers, zero extra allocation — exactly the
-donated-step semantics the trainer already uses). Bias correction uses the
-scalar step prefetched to SMEM. Math matches ``optax.adam`` bit-for-bit in
-f32 (tests/test_ops.py::test_fused_adam_matches_optax).
+donated-step semantics the trainer already uses). The 1-b^t bias
+corrections are computed outside the kernel and passed as SMEM scalars
+(Mosaic cannot legalize a traced-exponent powf). Math matches
+``optax.adam`` bit-for-bit in f32
+(tests/test_ops.py::test_fused_adam_matches_optax).
 
 Reference counterpart: torch.optim.Adam inside every loss's ``train_ops``
 (reference ``wgan_loss.py:127,261,388``) — there the optimizer is cuDNN/ATen
@@ -42,15 +44,16 @@ LANE = 128
 BLOCK_ROWS = 2048
 
 
-def _adam_kernel(step_ref, p_ref, g_ref, mu_ref, nu_ref,
+def _adam_kernel(corr_ref, p_ref, g_ref, mu_ref, nu_ref,
                  p_out, mu_out, nu_out, *, lr, b1, b2, eps):
-    t = step_ref[0].astype(jnp.float32)
     g = g_ref[...]
     mu = b1 * mu_ref[...] + (1.0 - b1) * g
     nu = b2 * nu_ref[...] + (1.0 - b2) * g * g
-    # optax bias correction: mu_hat = mu / (1 - b1^t) with t = step + 1
-    c1 = 1.0 - jnp.power(jnp.float32(b1), t)
-    c2 = 1.0 - jnp.power(jnp.float32(b2), t)
+    # optax bias correction 1 - b^t is computed OUTSIDE the kernel (Mosaic
+    # cannot legalize math.powf with a traced exponent) and arrives as two
+    # SMEM scalars — same jnp.power as optax, so parity is preserved.
+    c1 = corr_ref[0]
+    c2 = corr_ref[1]
     update = (mu / c1) / (jnp.sqrt(nu / c2) + eps)
     p_out[...] = p_ref[...] - lr * update
     mu_out[...] = mu
@@ -79,7 +82,9 @@ def adam_update_flat(
     rows = (n + n_pad) // LANE
     shape2 = (rows, LANE)
     p2, g2, mu2, nu2 = (x.reshape(shape2) for x in (p, g, mu, nu))
-    t = (step + 1).astype(jnp.int32).reshape((1,))
+    t = (step + 1).astype(jnp.float32)
+    corr = jnp.stack([1.0 - jnp.power(jnp.float32(b1), t),
+                      1.0 - jnp.power(jnp.float32(b2), t)])
 
     grid = rows // BLOCK_ROWS
     bspec = pl.BlockSpec((BLOCK_ROWS, LANE), lambda i: (i, 0),
@@ -92,8 +97,8 @@ def adam_update_flat(
         in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)] + [bspec] * 4,
         out_specs=(bspec, bspec, bspec),
         out_shape=(out_shape, out_shape, out_shape),
-        # in-place: p, mu, nu outputs alias their inputs (args: step,p,g,mu,nu)
+        # in-place: p, mu, nu outputs alias their inputs (args: corr,p,g,mu,nu)
         input_output_aliases={1: 0, 3: 1, 4: 2},
-    )(t, p2, g2, mu2, nu2)
+    )(corr, p2, g2, mu2, nu2)
     unflat = lambda x: x.reshape(-1)[:n]
     return unflat(new_p), unflat(new_mu), unflat(new_nu)
