@@ -101,6 +101,13 @@ class GANModelConfig:
     attn_size: int = 32
     #: biggan: shared class-embedding width fed to conditional BN.
     embed_dim: int = 128
+    #: biggan: rematerialize (jax.checkpoint) each residual block so the
+    #: WGAN-GP double-backward recomputes block activations instead of
+    #: holding them. BigGAN-256's 16x-wider channel taper at batch 32 needs
+    #: more HBM than a v5e chip has without this (the round-4 TPU-worker
+    #: crash — docs/perf/biggan_rootcause.json); remat trades ~1/3 extra
+    #: FLOPs for an activation footprint that fits.
+    remat: bool = False
     batchnorm: bool = True
     #: critic conditioning. "unconditional" = the reference's critic, which
     #: sees only images — compute_representation.py's identity-transfer goal

@@ -168,6 +168,11 @@ class BigGANGenerator(nn.Module):
         cfg = self.cfg
         dt = _dtype(cfg.compute_dtype)
         n_up = _n_up(cfg.out_size)
+        # remat: recompute each residual block's activations in the backward
+        # pass instead of holding them across the WGAN-GP double-grad
+        # (static_argnums=(3,): the `train` python bool of GBlock.__call__,
+        # with self at index 0 — verified in tests/test_attention_gans.py)
+        Block = nn.remat(GBlock, static_argnums=(3,)) if cfg.remat else GBlock
         ch = [cfg.step_channels * min(16, 2 ** (n_up - i)) for i in range(n_up + 1)]
         chunks = split_latent(z.astype(dt), n_up + 1)
         emb = None
@@ -184,7 +189,7 @@ class BigGANGenerator(nn.Module):
         for i in range(n_up):
             cond = chunks[i + 1] if emb is None else jnp.concatenate(
                 [emb, chunks[i + 1]], axis=-1)
-            h = GBlock(ch[i + 1], dt, cfg.leaky_slope, name=f"block_{i}")(h, cond, train)
+            h = Block(ch[i + 1], dt, cfg.leaky_slope, name=f"block_{i}")(h, cond, train)
             size *= 2
             if size == cfg.attn_size:
                 h = SelfAttention2d(dt, name=f"Attention_{size}")(h, train)
@@ -208,12 +213,15 @@ class BigGANDiscriminator(nn.Module):
         cfg = self.cfg
         dt = _dtype(cfg.compute_dtype)
         n_down = _n_up(cfg.out_size)  # mirror: out_size -> 4x4
+        # remat matters most here: D runs 4x per step (real, fake, the GP
+        # interpolates, and the double-grad recompute) at full resolution
+        Block = nn.remat(DBlock, static_argnums=(2,)) if cfg.remat else DBlock
         ch = [cfg.step_channels * min(16, 2 ** (i + 1)) for i in range(n_down)]
         h = x.astype(dt)
         size = cfg.out_size
         for i in range(n_down):
-            h = DBlock(ch[i], dt, cfg.leaky_slope, first=(i == 0),
-                       name=f"block_{i}")(h, train)
+            h = Block(ch[i], dt, cfg.leaky_slope, first=(i == 0),
+                      name=f"block_{i}")(h, train)
             size //= 2
             if size == cfg.attn_size:
                 h = SelfAttention2d(dt, name=f"Attention_{size}")(h, train)

@@ -162,6 +162,39 @@ def test_biggan_trains_conditional_and_roundtrips(tmp_path):
         jax.device_get(state.g_params), jax.device_get(restored.g_params))
 
 
+def test_biggan_remat_is_bit_exact():
+    """remat=True must change only the compute schedule, never the math:
+    one full wgan train step (D + GP double-backward + G) produces identical
+    losses and identical updated params with and without rematerialization
+    (the HBM workaround for the b32 TPU-worker crash,
+    docs/perf/biggan_rootcause.json). Also covers the eval-mode (train=False
+    static arg) path through nn.remat."""
+    states, metrics = [], []
+    imgs = tiles_to_float(_tiles(8))
+    for remat in (False, True):
+        model = GANModelConfig(arch="biggan", encoding_dims=24, out_size=16,
+                               step_channels=4, attn_size=8,
+                               compute_dtype="float32", remat=remat)
+        cfg = GANConfig(model=model, loss_type="wgan", batch_size=8, clip=None)
+        trainer = GANTrainer(cfg)
+        state = trainer.init_state()
+        batch = {"image": jnp.asarray(imgs), "rng": jax.random.key(3)}
+        state, m = trainer._train_step(state, batch, None)
+        states.append(jax.device_get(state))
+        metrics.append({k: float(v) for k, v in m.items()})
+        g = trainer.generator.apply(
+            {"params": state.g_params, "batch_stats": state.g_stats},
+            jnp.zeros((2, 24)), labels=None, train=False)
+        assert np.isfinite(np.asarray(g)).all()
+    assert metrics[0] == metrics[1]
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_array_equal(np.asarray(a), np.asarray(b)),
+        states[0].g_params, states[1].g_params)
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_array_equal(np.asarray(a), np.asarray(b)),
+        states[0].d_params, states[1].d_params)
+
+
 def test_fused_critic_batch_rejected_for_sn_archs():
     with pytest.raises(ValueError, match="spectral-norm"):
         GANTrainer(GANConfig(model=SAGAN16, loss_type="wgan", batch_size=8,

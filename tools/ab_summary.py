@@ -50,6 +50,8 @@ def summarize_run(path: str, floor_margin: float) -> dict:
         "best_epoch": best_e,
         "epochs_to_floor_region": to_floor,
         "tail_median_fid": round(float(np.median(tail)), 1) if tail else None,
+        # last recorded epoch's FID (epochs are 0-based throughout)
+        "final_fid": round(fids[-1][1], 1) if fids else None,
     }
 
 
@@ -78,10 +80,20 @@ def main():
     # seed aggregates for the base arms (dcgan, unconditional, n_critic=1,
     # no EMA — the controlled comparison)
     def base(arm):
-        return [r for r in runs
-                if r["loss_type"] == arm and r["n_critic"] == 1
-                and r["g_ema_decay"] is None and r["critic"] == "unconditional"
-                and r["arch"] == "dcgan" and r["seed"] is not None]
+        rs = [r for r in runs
+              if r["loss_type"] == arm and r["n_critic"] == 1
+              and r["g_ema_decay"] is None and r["critic"] == "unconditional"
+              and r["arch"] == "dcgan" and r["seed"] is not None]
+        # dedupe replicas of the same (arm, seed) — e.g. the checkpointed
+        # rerun wgan_ckpt replays seed 2's exact config — preferring the
+        # canonical `{arm}_s{seed}` run so aggregates count each seed once
+        by_seed = {}
+        for r in rs:
+            cur = by_seed.get(r["seed"])
+            canonical = r["run"] == f"{arm}_s{r['seed']}"
+            if cur is None or (canonical and cur["run"] != f"{arm}_s{r['seed']}"):
+                by_seed[r["seed"]] = r
+        return [by_seed[s] for s in sorted(by_seed)]
 
     agg = {}
     for arm in ("wgan", "wganvae"):

@@ -351,6 +351,11 @@ def main():
                    help="generator/discriminator family (reference registry "
                         "histopathology_gan.py:175-246; sagan/biggan are its "
                         "declared-but-missing archs, built in models/)")
+    p.add_argument("--remat", action="store_true",
+                   help="rematerialize biggan residual blocks (jax.checkpoint)"
+                        " — without it the b32 GP double-backward peaks at"
+                        " ~11.9 GiB and killed the TPU worker twice"
+                        " (docs/perf/biggan_rootcause.json)")
     p.add_argument("--critic", default="unconditional",
                    choices=["unconditional", "projection"],
                    help="projection = condition the critic on the frozen VAE "
@@ -400,7 +405,7 @@ def main():
 
     model_cfg = GANModelConfig(out_size=args.size, arch=args.arch,
                                encoding_dims=vae_cfg.z_dim if args.loss_type == "wganvae" else 2048,
-                               critic=args.critic)
+                               critic=args.critic, remat=args.remat)
     cfg_kw = dict(model=model_cfg, loss_type=args.loss_type, batch_size=args.batch,
                   vae=vae_cfg, compat_reference_gp=args.compat_gp, n_critic=args.n_critic,
                   g_ema_decay=args.g_ema_decay)
@@ -486,7 +491,7 @@ def main():
             "clip": cfg.clip if cfg.loss_type == "wgan" else None,
             "seed": cfg.seed, "arch": cfg.model.arch, "critic": cfg.model.critic,
             "n_critic": cfg.n_critic, "g_lr": cfg.g_lr, "d_lr": cfg.d_lr,
-            "g_ema_decay": cfg.g_ema_decay,
+            "g_ema_decay": cfg.g_ema_decay, "remat": cfg.model.remat,
             "backend": jax.devices()[0].platform,
             "device": str(jax.devices()[0])}
     print(f"[run] {meta}", flush=True)
