@@ -26,6 +26,17 @@ import os
 import numpy as np
 
 
+def is_run_json(path: str) -> bool:
+    """Run JSONs carry meta+history; sibling artifacts (summary.json,
+    power.json) in the same directory do not and are skipped."""
+    try:
+        with open(path) as f:
+            d = json.load(f)
+    except (json.JSONDecodeError, OSError):
+        return False
+    return isinstance(d, dict) and "meta" in d and "history" in d
+
+
 def summarize_run(path: str, floor_margin: float) -> dict:
     with open(path) as f:
         d = json.load(f)
@@ -65,7 +76,7 @@ def main():
 
     runs = [summarize_run(f, args.floor_margin)
             for f in sorted(glob.glob(os.path.join(args.dir, "*.json")))
-            if not f.endswith("summary.json")]
+            if is_run_json(f)]
     if not runs:
         print(f"no run JSONs in {args.dir}")
         return
