@@ -24,6 +24,9 @@ fi
 current=$(grep -oE '\[r5q [0-9:]+\] [a-z0-9_]+$' "$PLOG/queue.log" | tail -1 | awk '{print $3}')
 log "queue pid $QPID alive; current job: ${current:-unknown}"
 
+# FORCE=1: final sweep right before round end — kill whatever is running
+[ "${FORCE:-0}" = "1" ] && current=""
+
 case "$current" in
   ab_wganvae_s*|ab_wgan_s*|ab_wgan_ema|"")
     # kill queue + its children (timeout + python) via the process tree
